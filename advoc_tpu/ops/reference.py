@@ -1,0 +1,329 @@
+"""Float64 numpy golden oracle for the spectral core.
+
+This module defines the *semantics* the JAX implementation must match. It
+re-derives, from first principles and in float64, the r9y9/wavenet_vocoder-
+compatible mel pipeline that the reference repo's ``advoc/spectral.py`` exposes
+(SURVEY.md §2.1 #2–#4; the reference mount was empty, so constants come from
+the documented r9y9 conventions rather than file:line citations):
+
+* Slaney-scale mel filterbank (librosa-compatible, ``htk=False``,
+  ``norm='slaney'``), fs 22050, n_fft 1024, hop 256, win 1024 Hann,
+  80 mels, fmin 125, fmax 7600.
+* r9y9 mel extraction: ``20*log10(max(1e-5, mel @ |STFT|)) - ref_level_db``,
+  then normalized to [0, 1] against ``min_level_db = -100``.
+* Heuristic inversion: denormalize, dB→amplitude, multiply by the clipped
+  pseudo-inverse of the filterbank.
+* Phase recovery: Griffin-Lim (with optional fast-GL momentum) over
+  center-padded STFT/iSTFT with NOLA-normalized overlap-add.
+
+librosa and lws are NOT installed in this environment, so this file is the
+single source of truth for golden values (tests compare the JAX float32 code
+against this float64 oracle within documented tolerances).
+
+Everything here is intentionally plain numpy — no JAX — so tests can trust it
+independently of the code under test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Audio / feature parameters (r9y9 wavenet_vocoder-compatible defaults).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioParams:
+    """The featurizer parameter block shared by oracle and JAX paths."""
+
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 80
+    fmin: float = 125.0
+    fmax: float = 7600.0
+    ref_level_db: float = 20.0
+    min_level_db: float = -100.0
+    # Floor inside amp_to_db: 20*log10(1e-5) = -100 dB.
+    amp_floor: float = 1e-5
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+DEFAULT_PARAMS = AudioParams()
+
+
+# ---------------------------------------------------------------------------
+# Slaney mel scale + filterbank (librosa-compatible, derived from the
+# published Slaney Auditory Toolbox formulas; htk=False, norm='slaney').
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel_slaney(freq_hz: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    freq_hz = np.asarray(freq_hz, dtype=np.float64)
+    f_sp = 200.0 / 3.0  # ~66.667 Hz per mel in the linear region
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp  # = 15.0
+    logstep = np.log(6.4) / 27.0
+    mels = freq_hz / f_sp
+    log_region = freq_hz >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(freq_hz, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    freqs = mels * f_sp
+    log_region = mels >= min_log_mel
+    freqs = np.where(
+        log_region,
+        min_log_hz * np.exp(logstep * (np.maximum(mels, min_log_mel) - min_log_mel)),
+        freqs,
+    )
+    return freqs
+
+
+def mel_frequencies(n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+    """``n_mels`` frequencies evenly spaced on the Slaney mel scale."""
+    mel_min = hz_to_mel_slaney(np.float64(fmin))
+    mel_max = hz_to_mel_slaney(np.float64(fmax))
+    mels = np.linspace(mel_min, mel_max, n_mels, dtype=np.float64)
+    return mel_to_hz_slaney(mels)
+
+
+def create_mel_filterbank(params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape (n_mels, n_freq).
+
+    Matches librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax, htk=False,
+    norm='slaney') — the filterbank the r9y9 pipeline uses (SURVEY.md §2.1 #2).
+    """
+    n_freq = params.n_freq
+    fft_freqs = np.linspace(0.0, params.sample_rate / 2.0, n_freq, dtype=np.float64)
+    # n_mels + 2 corner frequencies.
+    mel_f = mel_frequencies(params.n_mels + 2, params.fmin, params.fmax)
+
+    fdiff = np.diff(mel_f)  # (n_mels + 1,)
+    ramps = mel_f[:, None] - fft_freqs[None, :]  # (n_mels + 2, n_freq)
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))  # (n_mels, n_freq)
+
+    # Slaney normalization: each filter integrates to ~constant energy.
+    enorm = 2.0 / (mel_f[2 : params.n_mels + 2] - mel_f[: params.n_mels])
+    weights *= enorm[:, None]
+    return weights
+
+
+def mel_pseudoinverse(params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Moore-Penrose pseudo-inverse of the filterbank, shape (n_freq, n_mels).
+
+    This is the "heuristic inversion" operator (SURVEY.md §2.1 #3): a mel
+    spectrogram right-multiplied by this matrix gives a (clipped-nonnegative)
+    linear-magnitude estimate.
+    """
+    return np.linalg.pinv(create_mel_filterbank(params))
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT (librosa-convention: centered, reflect-padded, Hann).
+# ---------------------------------------------------------------------------
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window (matches scipy.signal.get_window('hann', n))."""
+    n = np.arange(win_length, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+
+
+def stft(x: np.ndarray, params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    """Centered STFT. Returns complex128 of shape (n_frames, n_freq).
+
+    Conventions: reflect-pad by n_fft//2 on both sides (librosa center=True),
+    periodic Hann window of win_length zero-padded to n_fft, rFFT.
+    n_frames = 1 + len(x) // hop_length.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    pad = params.n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    win = hann_window(params.win_length)
+    if params.win_length < params.n_fft:
+        lpad = (params.n_fft - params.win_length) // 2
+        win = np.pad(win, (lpad, params.n_fft - params.win_length - lpad))
+    n_frames = 1 + (len(xp) - params.n_fft) // params.hop_length
+    frames = np.stack(
+        [
+            xp[i * params.hop_length : i * params.hop_length + params.n_fft]
+            for i in range(n_frames)
+        ]
+    )
+    return np.fft.rfft(frames * win[None, :], n=params.n_fft, axis=-1)
+
+
+def istft(
+    spec: np.ndarray, length: int, params: AudioParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    """Inverse STFT with NOLA window-sum normalization.
+
+    ``spec`` is (n_frames, n_freq) complex; returns float64 waveform of
+    ``length`` samples (the original, pre-padding length).
+    """
+    spec = np.asarray(spec)
+    win = hann_window(params.win_length)
+    if params.win_length < params.n_fft:
+        lpad = (params.n_fft - params.win_length) // 2
+        win = np.pad(win, (lpad, params.n_fft - params.win_length - lpad))
+    frames = np.fft.irfft(spec, n=params.n_fft, axis=-1)  # (n_frames, n_fft)
+    n_frames = frames.shape[0]
+    total = params.n_fft + (n_frames - 1) * params.hop_length
+    y = np.zeros(total, dtype=np.float64)
+    wsum = np.zeros(total, dtype=np.float64)
+    wsq = win * win
+    for i in range(n_frames):
+        s = i * params.hop_length
+        y[s : s + params.n_fft] += frames[i] * win
+        wsum[s : s + params.n_fft] += wsq
+    pad = params.n_fft // 2
+    y = y[pad : pad + length]
+    wsum = wsum[pad : pad + length]
+    return y / np.maximum(wsum, 1e-11)
+
+
+# ---------------------------------------------------------------------------
+# r9y9 mel extraction + heuristic inversion (dB domain, [0,1] normalized).
+# ---------------------------------------------------------------------------
+
+
+def amp_to_db(x: np.ndarray, params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    return 20.0 * np.log10(np.maximum(params.amp_floor, x))
+
+
+def db_to_amp(x: np.ndarray) -> np.ndarray:
+    return np.power(10.0, x * 0.05)
+
+
+def normalize_db(s: np.ndarray, params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    return np.clip((s - params.min_level_db) / -params.min_level_db, 0.0, 1.0)
+
+
+def denormalize_db(s: np.ndarray, params: AudioParams = DEFAULT_PARAMS) -> np.ndarray:
+    return np.clip(s, 0.0, 1.0) * -params.min_level_db + params.min_level_db
+
+
+def waveform_to_magspec(
+    x: np.ndarray, params: AudioParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    """|STFT|, shape (n_frames, n_freq)."""
+    return np.abs(stft(x, params))
+
+
+def waveform_to_r9y9_melspec(
+    x: np.ndarray, params: AudioParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    """r9y9-compatible normalized mel spectrogram in [0, 1].
+
+    Shape (n_frames, n_mels). Pipeline: |STFT| → mel filterbank →
+    amp_to_db − ref_level_db → normalize. (SURVEY.md §2.1 #2.)
+    """
+    mag = waveform_to_magspec(x, params)  # (T, F)
+    mel_fb = create_mel_filterbank(params)  # (M, F)
+    mel = mag @ mel_fb.T  # (T, M)
+    return normalize_db(amp_to_db(mel, params) - params.ref_level_db, params)
+
+
+def magspec_to_r9y9_melspec(
+    mag: np.ndarray, params: AudioParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    mel_fb = create_mel_filterbank(params)
+    mel = mag @ mel_fb.T
+    return normalize_db(amp_to_db(mel, params) - params.ref_level_db, params)
+
+
+def r9y9_melspec_to_magspec(
+    mel: np.ndarray, params: AudioParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    """Heuristic inversion: normalized mel → nonnegative magnitude estimate.
+
+    (SURVEY.md §3.3.) mel is (n_frames, n_mels); returns (n_frames, n_freq).
+    """
+    amp = db_to_amp(denormalize_db(mel, params) + params.ref_level_db)
+    inv = mel_pseudoinverse(params)  # (F, M)
+    return np.maximum(amp @ inv.T, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Griffin-Lim phase recovery.
+# ---------------------------------------------------------------------------
+
+
+def griffin_lim(
+    mag: np.ndarray,
+    length: int,
+    n_iters: int = 60,
+    momentum: float = 0.0,
+    params: AudioParams = DEFAULT_PARAMS,
+    seed: int | None = None,
+) -> np.ndarray:
+    """Griffin-Lim (optionally fast-GL with momentum) from a magnitude STFT.
+
+    ``mag`` is (n_frames, n_freq) nonnegative; returns a float64 waveform of
+    ``length`` samples. momentum=0 is classic G-L (the reference's fallback
+    path, SURVEY.md §2.1 #4); momentum≈0.99 is fast G-L (Perraudin et al.).
+    Phase is initialized to zero (deterministic) unless a seed is given.
+    """
+    mag = np.asarray(mag, dtype=np.float64)
+    if seed is None:
+        angles = np.zeros_like(mag)
+    else:
+        rng = np.random.default_rng(seed)
+        angles = rng.uniform(-np.pi, np.pi, size=mag.shape)
+    spec = mag * np.exp(1j * angles)
+    prev_rebuilt = None
+    for _ in range(n_iters):
+        x = istft(spec, length, params)
+        rebuilt = stft(x, params)[: mag.shape[0]]
+        update = rebuilt.copy()
+        if momentum > 0.0 and prev_rebuilt is not None:
+            update = rebuilt + momentum * (rebuilt - prev_rebuilt)
+        prev_rebuilt = rebuilt
+        phase = update / np.maximum(np.abs(update), 1e-16)
+        spec = mag * phase
+    return istft(spec, length, params)
+
+
+def magspec_to_waveform_griffin_lim(
+    mag: np.ndarray,
+    n_iters: int = 60,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> np.ndarray:
+    """Magnitude → waveform via classic Griffin-Lim (reference API name)."""
+    length = mag.shape[0] * params.hop_length
+    return griffin_lim(mag, length, n_iters=n_iters, params=params)
+
+
+def r9y9_melspec_to_waveform(
+    mel: np.ndarray,
+    n_iters: int = 60,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> np.ndarray:
+    """Full heuristic-inversion vocoder: normalized mel → waveform.
+
+    (SURVEY.md §3.3, BASELINE.md config 1.)
+    """
+    mag = r9y9_melspec_to_magspec(mel, params)
+    return magspec_to_waveform_griffin_lim(mag, n_iters=n_iters, params=params)

@@ -1,0 +1,275 @@
+"""TPU-native spectral core (JAX): STFT, mel, heuristic inversion, phase recovery.
+
+This is the production twin of :mod:`advoc_tpu.ops.reference` (the float64
+numpy oracle). Everything here is jittable, batched over arbitrary leading
+dims, and designed for XLA:TPU:
+
+* **Framing without gathers** — since ``hop_length`` divides ``n_fft`` for the
+  r9y9 parameters (1024/256 = 4), frames are built from hop-sized blocks with
+  static slices + concat, which XLA fuses; no gather/scatter in the hot path.
+* **Scatter-free overlap-add** — iSTFT accumulates the r overlapping block
+  diagonals with static ``.at[slice].add`` updates.
+* **Trace-time float64 constants** — Hann window, mel filterbank, its
+  pseudo-inverse, and the NOLA window-sum are computed on host in float64 by
+  the oracle module and embedded as f32 constants; the device never computes
+  them.
+* **Phase recovery as ``lax.scan``** — Griffin-Lim (and the fast-GL momentum
+  variant used as the LWS-quality path) iterates iFFT → overlap-add → FFT →
+  magnitude projection entirely on-chip (SURVEY.md §2.3: replaces the
+  reference's native ``lws`` C extension and its host Python loop).
+
+Reference parity: mirrors the expected ``advoc/spectral.py`` public surface
+(SURVEY.md §2.1 #2–#4): ``stft``, ``waveform_to_r9y9_melspec``,
+``r9y9_melspec_to_magspec``, ``magspec_to_waveform_{griffin_lim,lws}``,
+``r9y9_melspec_to_waveform``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advoc_tpu.ops import reference as ref
+from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
+
+Array = jax.Array
+
+# Matmul precision for the mel filterbank projections: float32 accumulation on
+# the MXU (SURVEY.md §7.3 hard-part #1 — parity dies without this).
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Trace-time constants (host float64 → device f32).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _consts(params: AudioParams) -> dict:
+    win = ref.hann_window(params.win_length)
+    if params.win_length < params.n_fft:
+        lpad = (params.n_fft - params.win_length) // 2
+        win = np.pad(win, (lpad, params.n_fft - params.win_length - lpad))
+    fb = ref.create_mel_filterbank(params)  # (M, F) float64
+    inv = np.linalg.pinv(fb)  # (F, M) float64
+    return {
+        "window": win,  # float64 (n_fft,)
+        "window_sq": win * win,
+        "mel_fb_t": fb.T.copy(),  # (F, M)
+        "mel_pinv_t": inv.T.copy(),  # (M, F)
+    }
+
+
+@functools.lru_cache(maxsize=64)
+def _nola_norm(params: AudioParams, n_frames: int, length: int) -> np.ndarray:
+    """Host-precomputed 1/window-sum for iSTFT normalization (float64→f32).
+
+    Depends only on static shapes, so it is a trace-time constant — the device
+    never spends FLOPs or an extra HBM pass normalizing.
+    """
+    wsq = _consts(params)["window_sq"]
+    total = params.n_fft + (n_frames - 1) * params.hop_length
+    wsum = np.zeros(total, dtype=np.float64)
+    for i in range(n_frames):
+        wsum[i * params.hop_length : i * params.hop_length + params.n_fft] += wsq
+    pad = params.n_fft // 2
+    wsum = wsum[pad : pad + length]
+    return (1.0 / np.maximum(wsum, 1e-11)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Framing / deframing (batched over one leading dim; public API vmaps more).
+# ---------------------------------------------------------------------------
+
+
+def _frame(xp: Array, params: AudioParams, n_frames: int) -> Array:
+    """(B, L_padded) → (B, n_frames, n_fft) using hop-block slicing."""
+    hop, n_fft = params.hop_length, params.n_fft
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        needed = (n_frames - 1) * hop + n_fft
+        blocks = xp[:, :needed].reshape(xp.shape[0], n_frames - 1 + r, hop)
+        parts = [blocks[:, k : k + n_frames, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+    # General case: strided gather (cold path for exotic params).
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return xp[:, idx]
+
+
+def _overlap_add(windowed: Array, params: AudioParams, length: int) -> Array:
+    """(B, n_frames, n_fft) windowed frames → (B, length) via block diagonals."""
+    hop, n_fft = params.hop_length, params.n_fft
+    b, n, _ = windowed.shape
+    assert n_fft % hop == 0, "overlap-add fast path needs hop | n_fft"
+    r = n_fft // hop
+    blocks = windowed.reshape(b, n, r, hop)
+    y = jnp.zeros((b, n + r - 1, hop), dtype=windowed.dtype)
+    for k in range(r):
+        y = y.at[:, k : k + n, :].add(blocks[:, :, k, :])
+    y = y.reshape(b, (n + r - 1) * hop)
+    pad = n_fft // 2
+    y = jax.lax.dynamic_slice_in_dim(y, pad, length, axis=1)
+    return y * jnp.asarray(_nola_norm(params, n, length))
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT.
+# ---------------------------------------------------------------------------
+
+
+def stft(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """Centered STFT. (..., L) float → (..., n_frames, n_freq) complex64.
+
+    n_frames = 1 + L // hop_length (librosa center=True convention; reflect
+    padding, periodic Hann). Semantics defined by the float64 oracle
+    ``advoc_tpu.ops.reference.stft``.
+    """
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    xb = x.reshape((-1, L)).astype(jnp.float32)
+    pad = params.n_fft // 2
+    xp = jnp.pad(xb, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + L // params.hop_length
+    frames = _frame(xp, params, n_frames)
+    win = jnp.asarray(_consts(params)["window"], dtype=jnp.float32)
+    spec = jnp.fft.rfft(frames * win, n=params.n_fft, axis=-1)
+    return spec.reshape(lead + spec.shape[1:])
+
+
+def istft(spec: Array, length: int, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """Inverse STFT with NOLA normalization. (..., n_frames, n_freq) → (..., length)."""
+    lead = spec.shape[:-2]
+    sb = spec.reshape((-1,) + spec.shape[-2:])
+    frames = jnp.fft.irfft(sb, n=params.n_fft, axis=-1)
+    win = jnp.asarray(_consts(params)["window"], dtype=jnp.float32)
+    y = _overlap_add(frames * win, params, length)
+    return y.reshape(lead + (length,))
+
+
+# ---------------------------------------------------------------------------
+# r9y9 mel extraction + heuristic inversion.
+# ---------------------------------------------------------------------------
+
+
+def amp_to_db(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    return 20.0 * jnp.log10(jnp.maximum(params.amp_floor, x))
+
+
+def db_to_amp(x: Array) -> Array:
+    return jnp.power(10.0, x * 0.05)
+
+
+def normalize_db(s: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    return jnp.clip((s - params.min_level_db) / -params.min_level_db, 0.0, 1.0)
+
+
+def denormalize_db(s: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    return jnp.clip(s, 0.0, 1.0) * -params.min_level_db + params.min_level_db
+
+
+def waveform_to_magspec(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    return jnp.abs(stft(x, params))
+
+
+def magspec_to_r9y9_melspec(mag: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """(..., T, n_freq) magnitude → (..., T, n_mels) normalized mel."""
+    fb_t = jnp.asarray(_consts(params)["mel_fb_t"], dtype=jnp.float32)
+    mel = jnp.matmul(mag, fb_t, precision=_HIGHEST)
+    return normalize_db(amp_to_db(mel, params) - params.ref_level_db, params)
+
+
+def waveform_to_r9y9_melspec(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """(..., L) waveform → (..., T, n_mels) r9y9 normalized mel (SURVEY §2.1 #2)."""
+    return magspec_to_r9y9_melspec(waveform_to_magspec(x, params), params)
+
+
+def r9y9_melspec_to_magspec(mel: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """Heuristic inversion (SURVEY §2.1 #3): normalized mel → magnitude ≥ 0."""
+    amp = db_to_amp(denormalize_db(mel, params) + params.ref_level_db)
+    pinv_t = jnp.asarray(_consts(params)["mel_pinv_t"], dtype=jnp.float32)
+    return jnp.maximum(jnp.matmul(amp, pinv_t, precision=_HIGHEST), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Phase recovery: Griffin-Lim / fast-GL as a lax.scan (on-chip; replaces the
+# reference's host-side lws C extension + Python loop — SURVEY §2.3, §3.3).
+# ---------------------------------------------------------------------------
+
+
+def griffin_lim(
+    mag: Array,
+    length: int | None = None,
+    n_iters: int = 60,
+    momentum: float = 0.0,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> Array:
+    """Griffin-Lim phase recovery. (..., T, n_freq) → (..., length) waveform.
+
+    momentum=0 → classic G-L; momentum≈0.99 → fast G-L (Perraudin 2013),
+    which is the shipped LWS-quality path. Runs as a single ``lax.scan`` so an
+    entire vocode is one XLA computation; zero-phase init (deterministic).
+    """
+    if length is None:
+        length = mag.shape[-2] * params.hop_length
+    mag = mag.astype(jnp.float32)
+    spec0 = mag.astype(jnp.complex64)  # zero phase
+    n_frames = mag.shape[-2]
+
+    def body(carry, _):
+        spec, prev = carry
+        x = istft(spec, length, params)
+        rebuilt = stft(x, params)
+        # stft of length → same n_frames (1 + length//hop ≥ n_frames); crop.
+        rebuilt = rebuilt[..., :n_frames, :]
+        update = rebuilt + momentum * (rebuilt - prev)
+        phase = update / jnp.maximum(jnp.abs(update), 1e-16)
+        return (mag * phase, rebuilt), None
+
+    (spec, _), _ = jax.lax.scan(body, (spec0, spec0), None, length=n_iters)
+    return istft(spec, length, params)
+
+
+def magspec_to_waveform_griffin_lim(
+    mag: Array,
+    n_iters: int = 60,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> Array:
+    """Reference-named API: classic Griffin-Lim (SURVEY §2.1 #4)."""
+    return griffin_lim(mag, n_iters=n_iters, momentum=0.0, params=params)
+
+
+def magspec_to_waveform_lws(
+    mag: Array,
+    n_iters: int = 30,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> Array:
+    """LWS-quality phase recovery, TPU-native.
+
+    The reference's default phase path is the native ``lws`` C extension
+    (SURVEY §2.1 #4, §2.3). lws is unavailable and host-bound by design; this
+    ships fast Griffin-Lim (momentum 0.99) as the quality-equivalent on-chip
+    scan — parity is defined as spectrogram-L1 equivalence (SURVEY §7.3 #2),
+    verified in tests via re-extraction error.
+    """
+    return griffin_lim(mag, n_iters=n_iters, momentum=0.99, params=params)
+
+
+def r9y9_melspec_to_waveform(
+    mel: Array,
+    n_iters: int = 60,
+    phase_method: str = "lws",
+    params: AudioParams = DEFAULT_PARAMS,
+) -> Array:
+    """Full heuristic-inversion vocoder (SURVEY §3.3; BASELINE config 1).
+
+    (..., T, n_mels) normalized mel → (..., T*hop) waveform, one jit region.
+    """
+    mag = r9y9_melspec_to_magspec(mel, params)
+    if phase_method == "lws":
+        return magspec_to_waveform_lws(mag, n_iters=n_iters, params=params)
+    if phase_method == "griffin_lim":
+        return magspec_to_waveform_griffin_lim(mag, n_iters=n_iters, params=params)
+    raise ValueError(f"unknown phase_method: {phase_method!r}")

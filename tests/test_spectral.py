@@ -1,0 +1,199 @@
+"""Golden-value tests: JAX spectral core vs the float64 numpy oracle.
+
+Strategy per SURVEY.md §4: the oracle (advoc_tpu.ops.reference, float64) is
+the bit-level semantic definition; the JAX float32 path must match within
+documented tolerances. Fixtures are synthesized (no dataset / librosa / lws in
+this environment).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advoc_tpu.ops import reference as ref
+from advoc_tpu.ops import spectral as sp
+
+P = ref.DEFAULT_PARAMS
+
+
+@pytest.fixture(scope="module")
+def wav():
+    """~1.5 s of deterministic multi-tone + noise 'speech-like' audio."""
+    rng = np.random.default_rng(0)
+    t = np.arange(32768, dtype=np.float64) / P.sample_rate
+    x = (
+        0.5 * np.sin(2 * np.pi * 220.0 * t)
+        + 0.25 * np.sin(2 * np.pi * 880.0 * t + 0.3)
+        + 0.125 * np.sin(2 * np.pi * 3520.0 * t + 1.1)
+        + 0.02 * rng.standard_normal(t.shape)
+    )
+    # amplitude modulation so frames differ
+    x *= 0.5 * (1.0 + np.sin(2 * np.pi * 3.0 * t))
+    return (0.8 * x / np.abs(x).max()).astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Filterbank semantics
+# ---------------------------------------------------------------------------
+
+
+class TestMelFilterbank:
+    def test_shape(self):
+        fb = ref.create_mel_filterbank(P)
+        assert fb.shape == (80, 513)
+
+    def test_nonnegative_and_bounded_support(self):
+        fb = ref.create_mel_filterbank(P)
+        assert (fb >= 0).all()
+        freqs = np.linspace(0, P.sample_rate / 2, P.n_freq)
+        active = fb.sum(axis=0) > 0
+        # No support below fmin or above fmax (one bin of slack at each edge).
+        assert not active[freqs < P.fmin - P.sample_rate / P.n_fft].any()
+        assert not active[freqs > P.fmax + P.sample_rate / P.n_fft].any()
+
+    def test_slaney_normalization(self):
+        # Slaney norm: each filter's integral over Hz ≈ 1 (area = width/2 * peak,
+        # peak = 2/width). Check via the analytic identity: sum of weights
+        # times bin-width approximates 1.
+        fb = ref.create_mel_filterbank(P)
+        bin_hz = P.sample_rate / P.n_fft
+        areas = fb.sum(axis=1) * bin_hz
+        # Triangles are coarsely sampled at low frequencies; generous band.
+        assert (areas > 0.5).all() and (areas < 1.5).all()
+
+    def test_mel_hz_roundtrip(self):
+        hz = np.linspace(10.0, 11000.0, 257)
+        back = ref.mel_to_hz_slaney(ref.hz_to_mel_slaney(hz))
+        np.testing.assert_allclose(back, hz, rtol=1e-12)
+
+    def test_pinv_identity_on_mel_domain(self):
+        fb = ref.create_mel_filterbank(P)
+        inv = ref.mel_pseudoinverse(P)
+        # fb @ pinv(fb) ≈ I on the 80-dim mel space (fb has full row rank).
+        np.testing.assert_allclose(fb @ inv, np.eye(80), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT golden + roundtrip
+# ---------------------------------------------------------------------------
+
+
+class TestSTFT:
+    def test_stft_matches_oracle(self, wav):
+        gold = ref.stft(wav, P)
+        got = np.asarray(sp.stft(jnp.asarray(wav, jnp.float32), P))
+        assert got.shape == gold.shape == (1 + len(wav) // P.hop_length, 513)
+        scale = np.abs(gold).max()
+        np.testing.assert_allclose(got, gold.astype(np.complex64), atol=2e-4 * scale)
+
+    def test_stft_batched(self, wav):
+        x = jnp.stack([jnp.asarray(wav, jnp.float32)] * 3).reshape(3, 1, -1)
+        s = sp.stft(x, P)
+        assert s.shape == (3, 1, 1 + len(wav) // P.hop_length, 513)
+        np.testing.assert_allclose(np.asarray(s[0, 0]), np.asarray(s[2, 0]))
+
+    def test_istft_roundtrip_oracle(self, wav):
+        spec = ref.stft(wav, P)
+        y = ref.istft(spec, len(wav), P)
+        np.testing.assert_allclose(y, wav, atol=1e-10)
+
+    def test_istft_roundtrip_jax(self, wav):
+        x = jnp.asarray(wav, jnp.float32)
+        y = np.asarray(sp.istft(sp.stft(x, P), len(wav), P))
+        np.testing.assert_allclose(y, wav, atol=1e-4)
+
+    def test_istft_matches_oracle(self, wav):
+        spec = ref.stft(wav, P)
+        gold = ref.istft(spec, len(wav), P)
+        got = np.asarray(sp.istft(jnp.asarray(spec, jnp.complex64), len(wav), P))
+        np.testing.assert_allclose(got, gold, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# r9y9 mel extraction + heuristic inversion golden
+# ---------------------------------------------------------------------------
+
+
+class TestR9y9Mel:
+    def test_melspec_matches_oracle(self, wav):
+        gold = ref.waveform_to_r9y9_melspec(wav, P)
+        got = np.asarray(sp.waveform_to_r9y9_melspec(jnp.asarray(wav, jnp.float32), P))
+        assert got.shape == gold.shape == (1 + len(wav) // P.hop_length, 80)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+        # [0,1]-normalized dB values; float32 FFT+matmul noise ≪ 1e-3.
+        np.testing.assert_allclose(got, gold, atol=2e-3)
+
+    def test_heuristic_inversion_matches_oracle(self, wav):
+        mel = ref.waveform_to_r9y9_melspec(wav, P)
+        gold = ref.r9y9_melspec_to_magspec(mel, P)
+        got = np.asarray(
+            sp.r9y9_melspec_to_magspec(jnp.asarray(mel, jnp.float32), P)
+        )
+        scale = gold.max()
+        np.testing.assert_allclose(got, gold, atol=2e-4 * scale)
+
+    def test_inversion_reextraction_consistency(self, wav):
+        # mel → heuristic magnitude → re-extracted mel should be close to the
+        # original mel (pinv is exact on the mel subspace; clipping ≥0 and the
+        # dB floor introduce small error).
+        mel = ref.waveform_to_r9y9_melspec(wav, P)
+        mag_est = ref.r9y9_melspec_to_magspec(mel, P)
+        mel2 = ref.magspec_to_r9y9_melspec(mag_est, P)
+        l1 = np.abs(mel2 - mel).mean()
+        assert l1 < 0.02, f"re-extraction L1 too high: {l1}"
+
+
+# ---------------------------------------------------------------------------
+# Phase recovery
+# ---------------------------------------------------------------------------
+
+
+class TestGriffinLim:
+    def test_gl_reduces_spectral_error(self, wav):
+        """G-L from |STFT| must converge toward a consistent spectrogram."""
+        mag = ref.waveform_to_magspec(wav, P)
+        x0 = ref.griffin_lim(mag, len(wav), n_iters=0, params=P)
+        x32 = ref.griffin_lim(mag, len(wav), n_iters=32, params=P)
+        err0 = np.abs(ref.waveform_to_magspec(x0, P) - mag).mean()
+        err32 = np.abs(ref.waveform_to_magspec(x32, P) - mag).mean()
+        assert err32 < 0.5 * err0
+
+    def test_jax_gl_matches_oracle_quality(self, wav):
+        mag = ref.waveform_to_magspec(wav, P)
+        gold = ref.griffin_lim(mag, len(wav), n_iters=8, params=P)
+        got = np.asarray(
+            sp.griffin_lim(jnp.asarray(mag, jnp.float32), len(wav), n_iters=8, params=P)
+        )
+        # Trajectories diverge in f32 after many iterations; compare the
+        # *consistency error*, which is the quantity G-L minimizes.
+        e_gold = np.abs(ref.waveform_to_magspec(gold, P) - mag).mean()
+        e_got = np.abs(ref.waveform_to_magspec(got.astype(np.float64), P) - mag).mean()
+        assert e_got < 1.5 * e_gold + 1e-4
+
+    def test_fast_gl_beats_classic_at_equal_iters(self, wav):
+        mag = jnp.asarray(ref.waveform_to_magspec(wav, P), jnp.float32)
+        x_classic = sp.griffin_lim(mag, len(wav), n_iters=16, momentum=0.0, params=P)
+        x_fast = sp.griffin_lim(mag, len(wav), n_iters=16, momentum=0.99, params=P)
+        m = np.asarray(mag, dtype=np.float64)
+        e_c = np.abs(ref.waveform_to_magspec(np.asarray(x_classic, np.float64), P) - m).mean()
+        e_f = np.abs(ref.waveform_to_magspec(np.asarray(x_fast, np.float64), P) - m).mean()
+        assert e_f < e_c
+
+    def test_full_vocoder_pipeline_roundtrip(self, wav):
+        """BASELINE config 1: mel → waveform → re-extracted mel L1 is small."""
+        mel = sp.waveform_to_r9y9_melspec(jnp.asarray(wav, jnp.float32), P)
+        y = sp.r9y9_melspec_to_waveform(mel, n_iters=30, phase_method="lws", params=P)
+        assert y.shape == (mel.shape[0] * P.hop_length,)
+        mel2 = sp.waveform_to_r9y9_melspec(y[: len(wav)], P)
+        l1 = float(jnp.abs(mel2 - mel).mean())
+        assert l1 < 0.05, f"vocoded mel L1 {l1} too high"
+
+    def test_vocoder_is_jittable_and_batched(self, wav):
+        mel = sp.waveform_to_r9y9_melspec(jnp.asarray(wav[:16384], jnp.float32), P)
+        mels = jnp.stack([mel, mel * 0.9])
+        fn = jax.jit(lambda m: sp.r9y9_melspec_to_waveform(m, n_iters=4, params=P))
+        out = fn(mels)
+        assert out.shape == (2, mel.shape[0] * P.hop_length)
+        assert bool(jnp.isfinite(out).all())
