@@ -1,0 +1,165 @@
+"""Waveform slice loader: file list → batched fixed-length float32 slices.
+
+Mirrors the reference's ``advoc/loader.py`` single public entry point
+(SURVEY.md §2.1 #5, ≈``decode_extract_and_batch``), redesigned for TPU:
+
+* The host only decodes and slices raw waveforms (native C++ slice reads —
+  random crops never decode whole files); **feature extraction happens
+  on-device inside the jitted step**, where the featurizer rides the MXU.
+* A thread pool decodes slices concurrently and a background queue keeps
+  ``prefetch`` batches ready, so host I/O overlaps device compute.
+* :func:`device_prefetch` additionally moves batches to the device (with an
+  optional ``NamedSharding`` for data parallelism) one step ahead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from advoc_tpu.data import audioio
+
+
+def synthetic_speech(
+    seed: int, n_samples: int, sample_rate: int = 22050
+) -> np.ndarray:
+    """Deterministic speech-like audio (harmonic source + formants + noise).
+
+    Test/bench fixture generator — no dataset ships with this machine
+    (SURVEY.md §4: parity fixtures must be self-generated).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    # Wandering pitch 90–220 Hz.
+    f0 = 140.0 + 60.0 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+    x = np.zeros_like(t)
+    for k, amp in enumerate([1.0, 0.6, 0.45, 0.3, 0.22, 0.15, 0.1, 0.07], start=1):
+        x += amp * np.sin(k * phase + rng.uniform(0, 6.28))
+    # Formant-ish colored noise.
+    noise = rng.standard_normal(n_samples)
+    x += 0.08 * np.convolve(noise, np.hanning(32) / 16.0, mode="same")
+    # Syllabic amplitude envelope.
+    env = 0.5 * (1 + np.sin(2 * np.pi * 2.8 * t + rng.uniform(0, 6.28)))
+    x *= 0.2 + 0.8 * env**1.5
+    x = x / np.abs(x).max() * 0.7
+    return x.astype(np.float32)
+
+
+def _slice_plan_eval(n_frames: int, slice_len: int, hop: int) -> list[int]:
+    if n_frames <= slice_len:
+        return [0]
+    return list(range(0, n_frames - slice_len + 1, hop))
+
+
+def decode_extract_and_batch(
+    fps: Sequence[str],
+    batch_size: int,
+    slice_len: int,
+    repeat: bool = True,
+    shuffle: bool = True,
+    seed: int = 0,
+    normalize: bool = False,
+    num_workers: int = 8,
+    prefetch: int = 4,
+    drop_remainder: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield (batch_size, slice_len) float32 waveform batches.
+
+    Training mode (``repeat=True, shuffle=True``): infinite stream of random
+    crops (random file, random offset). Eval mode (``repeat=False,
+    shuffle=False``): one pass of sequential non-overlapping windows per file.
+    Matches the reference loader's contract (SURVEY.md §3.1), minus tf.data.
+    """
+    fps = list(map(str, fps))
+    if not fps:
+        raise ValueError("empty file list")
+    rng = np.random.default_rng(seed)
+
+    meta = [audioio.wav_num_frames(fp) for fp in fps]
+
+    def decode_one(args) -> np.ndarray:
+        fp, start = args
+        x = audioio.decode_audio_slice(fp, start, slice_len)
+        if normalize:
+            peak = np.abs(x).max()
+            if peak > 0:
+                x = x * (0.95 / peak)
+        return x
+
+    def gen_indices() -> Iterable[tuple[str, int]]:
+        if repeat:
+            while True:
+                i = int(rng.integers(len(fps)))
+                n, _ = meta[i]
+                start = int(rng.integers(max(1, n - slice_len + 1)))
+                yield fps[i], start
+        else:
+            for fp, (n, _) in zip(fps, meta):
+                for start in _slice_plan_eval(n, slice_len, slice_len):
+                    yield fp, start
+
+    stop = threading.Event()
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    _SENTINEL = object()
+
+    def producer():
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+        try:
+            batch: list = []
+            for item in gen_indices():
+                if stop.is_set():
+                    return
+                batch.append(item)
+                if len(batch) == batch_size:
+                    arrs = list(pool.map(decode_one, batch))
+                    q.put(np.stack(arrs))
+                    batch = []
+            if batch and not drop_remainder:
+                arrs = list(pool.map(decode_one, batch))
+                q.put(np.stack(arrs))
+        finally:
+            pool.shutdown(wait=False)
+            q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    def iterate():
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    return iterate()
+
+
+def device_prefetch(it: Iterator[np.ndarray], sharding=None, depth: int = 2):
+    """Move host batches onto device(s) ``depth`` steps ahead of consumption.
+
+    ``sharding`` is typically a ``NamedSharding(mesh, P('data'))`` for DP
+    training (SURVEY.md §2.4); None puts on the default device.
+    """
+    import collections
+
+    import jax
+
+    buf: collections.deque = collections.deque()
+
+    def put(x):
+        return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+
+    for x in it:
+        buf.append(put(x))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

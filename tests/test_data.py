@@ -1,0 +1,134 @@
+"""Data-pipeline tests: native WAV codec, audio I/O, slice loader."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from advoc_tpu.data import audioio, loader, native
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    for i in range(4):
+        x = loader.synthetic_speech(seed=i, n_samples=22050 + i * 1000)
+        audioio.save_as_wav(x, d / f"{i}.wav", 22050)
+    return d
+
+
+class TestNativeCodec:
+    def test_builds_and_loads(self):
+        lib = native.load()
+        assert lib is not None
+
+    def test_roundtrip_pcm16(self, tmp_path):
+        x = loader.synthetic_speech(seed=7, n_samples=10000)
+        p = str(tmp_path / "t.wav")
+        audioio.save_as_wav(x, p, 22050)
+        y = audioio.decode_audio(p)
+        assert y.dtype == np.float32 and len(y) == len(x)
+        # write scales by 32767, read by 32768: |err| ≤ (|x| + 0.5)/32768
+        np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+    def test_native_matches_stdlib_fallback(self, tmp_path):
+        x = loader.synthetic_speech(seed=8, n_samples=5000)
+        p = str(tmp_path / "t.wav")
+        audioio.save_as_wav(x, p, 22050)
+        a, sr_a = audioio._decode_native(p)
+        b, sr_b = audioio._decode_fallback(p)
+        assert sr_a == sr_b == 22050
+        np.testing.assert_array_equal(a, b)
+
+    def test_stereo_downmix(self, tmp_path):
+        left = np.full(1000, 0.5, np.float32)
+        right = np.full(1000, -0.25, np.float32)
+        inter = np.stack([left, right], axis=1).reshape(-1)
+        pcm = (inter * 32767).astype("<i2")
+        p = str(tmp_path / "st.wav")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        y, sr = audioio._decode_native(p)
+        assert sr == 16000 and len(y) == 1000
+        np.testing.assert_allclose(y, 0.125, atol=1e-3)
+
+    def test_slice_decode(self, tmp_path):
+        x = loader.synthetic_speech(seed=9, n_samples=8000)
+        p = str(tmp_path / "t.wav")
+        audioio.save_as_wav(x, p, 22050)
+        full = audioio.decode_audio(p)
+        sl = audioio.decode_audio_slice(p, 1000, 2000)
+        np.testing.assert_array_equal(sl, full[1000:3000])
+        # Past EOF → zero-padded, never fails.
+        tail = audioio.decode_audio_slice(p, 7000, 2000)
+        np.testing.assert_array_equal(tail[:1000], full[7000:])
+        assert (tail[1000:] == 0).all()
+
+    def test_info(self, wav_dir):
+        n, sr = audioio.wav_num_frames(str(wav_dir / "0.wav"))
+        assert (n, sr) == (22050, 22050)
+
+
+class TestLoader:
+    def test_train_stream_shapes(self, wav_dir):
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=8, slice_len=4096, repeat=True, seed=1
+        )
+        b1, b2 = next(it), next(it)
+        assert b1.shape == b2.shape == (8, 4096)
+        assert b1.dtype == np.float32
+        assert not np.array_equal(b1, b2)  # random crops differ
+
+    def test_eval_pass_is_finite_and_sequential(self, wav_dir):
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        it = loader.decode_extract_and_batch(
+            fps,
+            batch_size=4,
+            slice_len=8192,
+            repeat=False,
+            shuffle=False,
+            drop_remainder=False,
+        )
+        batches = list(it)
+        total = sum(b.shape[0] for b in batches)
+        # each file yields floor((n-slice)/slice)+1 sequential windows
+        expected = sum(
+            len(loader._slice_plan_eval(audioio.wav_num_frames(fp)[0], 8192, 8192))
+            for fp in fps
+        )
+        assert total == expected
+
+    def test_device_prefetch(self, wav_dir):
+        import jax
+
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=8, slice_len=1024, repeat=False, drop_remainder=True
+        )
+        dev_it = loader.device_prefetch(it, depth=2)
+        b = next(dev_it)
+        assert isinstance(b, jax.Array) and b.shape == (8, 1024)
+
+    def test_device_prefetch_sharded(self, wav_dir):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=16, slice_len=1024, repeat=False
+        )
+        b = next(loader.device_prefetch(it, sharding=sharding))
+        assert len(b.sharding.device_set) == 8
+
+    def test_synthetic_speech_deterministic(self):
+        a = loader.synthetic_speech(3, 4000)
+        b = loader.synthetic_speech(3, 4000)
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a).max() <= 0.71
