@@ -1,0 +1,226 @@
+"""Fused vocoder inference: mel-in / waveform-out in ONE jit region.
+
+The rebuild's headline requirement (SURVEY.md §3.4, BASELINE north-star):
+heuristic estimate → U-Net repair → phase-recovery scan → waveform, fused so
+the audio never leaves the chip. The reference instead ran the generator on
+GPU, then LWS on the host C extension (SURVEY.md §3.4).
+
+Long-mel handling (SURVEY.md §2.4 "long context" row): the generator is
+applied to fixed ``chunk_frames`` windows with ``overlap`` frames of linear
+crossfade in the (normalized-dB) magnitude domain — conv receptive fields are
+local, so chunking is exact up to boundary effects — and phase recovery runs
+over the *whole* utterance at once. Input lengths are bucketed to multiples
+of ``chunk_frames`` so the number of distinct compiled shapes stays O(max
+utterance length / chunk), not O(utterances).
+
+:class:`StreamingVocoder` is the low-latency path for the small-footprint
+config (BASELINE config 4): stateful chunk-by-chunk vocoding with
+waveform-domain crossfade, per-chunk latency = one fixed-shape jit call.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advoc_tpu.ops import spectral
+from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
+
+Array = jax.Array
+
+
+def _chunk_windows(t: int, chunk: int, hop: int) -> np.ndarray:
+    """Start indices of overlapping windows covering [0, t) (static)."""
+    if t <= chunk:
+        return np.array([0])
+    starts = list(range(0, t - chunk, hop))
+    starts.append(t - chunk)
+    return np.asarray(starts)
+
+
+def _crossfade_weights(chunk: int, overlap: int) -> np.ndarray:
+    """Per-frame weights: linear ramps on both edges (float32)."""
+    w = np.ones(chunk, np.float64)
+    if overlap > 0:
+        ramp = (np.arange(overlap) + 1.0) / (overlap + 1.0)
+        w[:overlap] = ramp
+        w[-overlap:] = ramp[::-1]
+    return w.astype(np.float32)
+
+
+class Vocoder:
+    """mel (T, n_mels) or (B, T, n_mels) → waveform, fully on-device.
+
+    ``g_apply(params, est) → repaired`` is the generator apply fn operating on
+    (B, chunk_frames, n_freq) normalized-dB magnitudes; pass ``None`` to run
+    the pure heuristic pipeline (BASELINE config 1 on-chip).
+    """
+
+    def __init__(
+        self,
+        g_apply=None,
+        g_params=None,
+        params: AudioParams = DEFAULT_PARAMS,
+        chunk_frames: int = 256,
+        overlap_frames: int = 32,
+        gl_iters: int = 30,
+        phase_method: str = "lws",
+    ):
+        self.g_apply = g_apply
+        self.g_params = g_params
+        self.params = params
+        self.chunk = chunk_frames
+        self.overlap = overlap_frames
+        self.gl_iters = gl_iters
+        self.momentum = 0.99 if phase_method == "lws" else 0.0
+        self._cache: dict[int, object] = {}  # bucketed length → jitted fn
+
+    def _compiled(self, t_frames: int):
+        """One fused jit per bucketed length (per-instance cache)."""
+        if t_frames in self._cache:
+            return self._cache[t_frames]
+        p = self.params
+        chunk, overlap = self.chunk, self.overlap
+        hop_frames = chunk - overlap
+        starts = _chunk_windows(t_frames, chunk, hop_frames)
+        weights = jnp.asarray(_crossfade_weights(chunk, overlap))[None, :, None]
+        length = t_frames * p.hop_length
+
+        def run(g_params, mel: Array) -> Array:  # mel: (B, T, M)
+            est = spectral.r9y9_melspec_to_magspec(mel, p)  # (B, T, F) linear
+            est_norm = spectral.normalize_db(
+                spectral.amp_to_db(est, p) - p.ref_level_db, p
+            )
+            if self.g_apply is not None:
+                b = est_norm.shape[0]
+                # Gather overlapping chunks → (B*n_chunks, chunk, F).
+                chunks = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice_in_dim(est_norm, int(s), chunk, axis=1)
+                        for s in starts
+                    ],
+                    axis=1,
+                )  # (B, n_chunks, chunk, F)
+                nc = chunks.shape[1]
+                flat = chunks.reshape(b * nc, chunk, est_norm.shape[-1])
+                repaired = self.g_apply(g_params, flat)
+                repaired = repaired.reshape(b, nc, chunk, -1)
+                # Crossfade-join in the normalized-dB domain (static starts →
+                # .at[].add lowers to in-place dynamic-update-slice adds; the
+                # weight normalization cancels the fade at sequence edges).
+                num = jnp.zeros_like(est_norm)
+                den = jnp.zeros((1, t_frames, 1), est_norm.dtype)
+                for i, s in enumerate(starts):
+                    s = int(s)
+                    num = num.at[:, s : s + chunk].add(repaired[:, i] * weights)
+                    den = den.at[:, s : s + chunk].add(weights)
+                mag_norm = num / jnp.maximum(den, 1e-8)
+            else:
+                mag_norm = est_norm
+            mag = spectral.db_to_amp(
+                spectral.denormalize_db(mag_norm, p) + p.ref_level_db
+            )
+            return spectral.griffin_lim(
+                mag, length, n_iters=self.gl_iters, momentum=self.momentum,
+                params=p,
+            )
+
+        fn = jax.jit(run)
+        self._cache[t_frames] = fn
+        return fn
+
+    def bucket(self, t: int) -> int:
+        """Round up to a multiple of chunk_frames (bounds compile count)."""
+        c = self.chunk
+        return max(c, ((t + c - 1) // c) * c)
+
+    def __call__(self, mel) -> Array:
+        """Vocode; accepts (T, M) or (B, T, M); returns (…, T*hop) cropped to
+        the true (pre-bucket-padding) length."""
+        mel = jnp.asarray(mel)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        t = mel.shape[1]
+        tb = self.bucket(t)
+        if tb != t:
+            # Pad with silence-level mel (0.0 == min dB after normalize).
+            mel = jnp.pad(mel, ((0, 0), (0, tb - t), (0, 0)))
+        wav = self._compiled(tb)(self.g_params, mel)
+        wav = wav[:, : t * self.params.hop_length]
+        return wav[0] if squeeze else wav
+
+
+class StreamingVocoder:
+    """Low-latency stateful chunk vocoder (small-footprint config).
+
+    Feed mel chunks of ``chunk_frames``; receive waveform chunks. Adjacent
+    chunks are joined with an ``overlap_frames``-long waveform crossfade.
+    Exactly one fixed-shape jit call per chunk → constant per-chunk latency.
+    """
+
+    def __init__(
+        self,
+        g_apply=None,
+        g_params=None,
+        params: AudioParams = DEFAULT_PARAMS,
+        chunk_frames: int = 64,
+        overlap_frames: int = 8,
+        gl_iters: int = 16,
+    ):
+        self.params = params
+        self.chunk = chunk_frames
+        self.overlap = overlap_frames
+        self.g_apply = g_apply
+        self.g_params = g_params
+        self.gl_iters = gl_iters
+        self._state_wav: np.ndarray | None = None  # pending overlap tail
+        p = params
+
+        ov_samps = overlap_frames * p.hop_length
+        fade = jnp.asarray(np.linspace(0.0, 1.0, ov_samps, dtype=np.float32))
+
+        def run(g_params, mel: Array, prev_tail: Array) -> tuple[Array, Array]:
+            est = spectral.r9y9_melspec_to_magspec(mel, p)
+            est_norm = spectral.normalize_db(
+                spectral.amp_to_db(est, p) - p.ref_level_db, p
+            )
+            mag_norm = (
+                self.g_apply(g_params, est_norm)
+                if self.g_apply is not None
+                else est_norm
+            )
+            mag = spectral.db_to_amp(
+                spectral.denormalize_db(mag_norm, p) + p.ref_level_db
+            )
+            wav = spectral.griffin_lim(
+                mag, chunk_frames * p.hop_length, n_iters=gl_iters,
+                momentum=0.99, params=p,
+            )[0]
+            head = wav[:ov_samps] * fade + prev_tail * (1.0 - fade)
+            emit = jnp.concatenate([head, wav[ov_samps:-ov_samps]])
+            tail = wav[-ov_samps:]
+            return emit, tail
+
+        self._run = jax.jit(run)
+        self._ov_samps = ov_samps
+
+    def reset(self):
+        self._state_wav = None
+
+    def push(self, mel_chunk) -> np.ndarray:
+        """Vocode one (chunk_frames, n_mels) window; returns the emitted
+        waveform samples (chunk minus one overlap, crossfaded with the
+        previous chunk's tail). Call :meth:`reset` between utterances."""
+        mel_chunk = jnp.asarray(mel_chunk)[None]
+        assert mel_chunk.shape[1] == self.chunk, mel_chunk.shape
+        if self._state_wav is None:
+            prev_tail = jnp.zeros(self._ov_samps, jnp.float32)
+        else:
+            prev_tail = jnp.asarray(self._state_wav)
+        emit, tail = self._run(self.g_params, mel_chunk, prev_tail)
+        self._state_wav = np.asarray(tail)
+        return np.asarray(emit)

@@ -1,0 +1,209 @@
+"""Adversarial vocoder models: U-Net magnitude repairer + patch discriminator.
+
+Capability parity with the reference's expected ``models/advoc/model.py``
+(SURVEY.md §2.1 #7–#8, #11), redesigned TPU-first:
+
+* NHWC layout, static shapes, channel counts kept in multiples of the lane
+  width where it matters.
+* The generator "repairs" the heuristic magnitude estimate in the
+  *normalized-dB* domain ([0, 1], same scale as the r9y9 mel features) and
+  predicts a **residual** on top of the estimate — the paper describes the
+  generator as fixing the heuristic inversion, and a residual head makes the
+  identity the trivial init (SURVEY.md §2.1 #7, med-confidence on the
+  reference's exact head; revisit per SURVEY §8.3 if the mount appears).
+* Upsampling is nearest-resize + conv (not conv_transpose): equal FLOPs on
+  the MXU, no checkerboard artifacts, and sidesteps TF1/XLA SAME-padding
+  transpose mismatches (SURVEY.md §7.3 #4).
+* GroupNorm instead of TF1 batchnorm: stateless (no running-average plumbing
+  through jit), batch-size independent, and identical math per replica under
+  data parallelism.
+* The 513-bin spectrogram is processed as a 512-bin image (power-of-two for
+  the U-Net); the Nyquist bin passes through from the estimate unchanged —
+  the mel filterbank has no support there (fmax 7600 < 11025 Hz), so the
+  estimate is already exact for that bin.
+
+The small-footprint variant (SURVEY.md §2.1 #11) is ``AdvocConfig(width=32)``
+or less — a config, not separate code, matching the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvocConfig:
+    """Hyperparameters of the advoc GAN (reference: model class attrs)."""
+
+    n_frames: int = 256          # STFT frames per training chunk
+    n_freq: int = 513            # rfft bins (512 processed + Nyquist)
+    width: int = 64              # base channel count; 32/16 = small variant
+    depth: int = 6               # U-Net down/up levels (256×512 → 4×8)
+    disc_width: int = 64
+    disc_layers: int = 4
+    norm_groups: int = 8
+    dtype: str = "bfloat16"      # compute dtype for conv stacks
+    # Loss assembly (SURVEY.md §2.1 #9; loss type unverified in reference —
+    # configurable, lsgan default for stability).
+    gan_type: str = "lsgan"      # dcgan | lsgan | wgan-gp
+    l1_weight: float = 100.0
+    gp_weight: float = 10.0      # only used when gan_type == "wgan-gp"
+    # Conditioning the discriminator sees alongside the magnitude.
+    condition_on: str = "estimate"  # estimate | mel
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def _norm(cfg: AdvocConfig, name: str):
+    return nn.GroupNorm(
+        num_groups=cfg.norm_groups, dtype=jnp.float32, name=name
+    )
+
+
+class _Down(nn.Module):
+    """stride-2 conv → norm → LeakyReLU encoder block."""
+
+    features: int
+    cfg: AdvocConfig
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding="SAME",
+            dtype=self.cfg.compute_dtype,
+            name="conv",
+        )(x)
+        if self.use_norm:
+            x = _norm(self.cfg, "norm")(x)
+        return nn.leaky_relu(x, 0.2)
+
+
+class _Up(nn.Module):
+    """nearest-resize ×2 → conv → norm → ReLU decoder block."""
+
+    features: int
+    cfg: AdvocConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nn.Conv(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(1, 1),
+            padding="SAME",
+            dtype=self.cfg.compute_dtype,
+            name="conv",
+        )(x)
+        x = _norm(self.cfg, "norm")(x)
+        return nn.relu(x)
+
+
+class AdvocGenerator(nn.Module):
+    """U-Net: heuristic magnitude estimate (normalized dB) → repaired estimate.
+
+    Input/output: (B, n_frames, n_freq) in [0, 1] (normalized-dB domain, the
+    same scale as r9y9 mel values). Residual head: output = clip(est + Δ).
+    """
+
+    cfg: AdvocConfig = AdvocConfig()
+
+    @nn.compact
+    def __call__(self, est: Array) -> Array:
+        cfg = self.cfg
+        assert est.shape[-1] == cfg.n_freq, est.shape
+        body, nyquist = est[..., : cfg.n_freq - 1], est[..., cfg.n_freq - 1 :]
+        x = (body * 2.0 - 1.0)[..., None].astype(cfg.compute_dtype)  # NHWC
+
+        # Channel schedule: width, 2w, 4w, 8w, 8w, ... capped at 8w.
+        feats: Sequence[int] = [
+            min(cfg.width * (2**i), cfg.width * 8) for i in range(cfg.depth)
+        ]
+
+        skips = []
+        for i, f in enumerate(feats):
+            x = _Down(f, cfg, use_norm=(i > 0), name=f"down{i}")(x)
+            skips.append(x)
+
+        # Bottleneck conv keeps receptive field growing without more halving.
+        x = nn.Conv(
+            feats[-1],
+            (3, 3),
+            padding="SAME",
+            dtype=cfg.compute_dtype,
+            name="bottleneck",
+        )(x)
+        x = nn.relu(x)
+
+        for i, f in enumerate(reversed(feats)):
+            skip = skips[len(feats) - 1 - i]
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = _Up(f, cfg, name=f"up{i}")(x)
+
+        # Final full-res conv → residual in dB-normalized units.
+        delta = nn.Conv(
+            1,
+            (4, 4),
+            padding="SAME",
+            dtype=jnp.float32,
+            name="head",
+        )(x.astype(jnp.float32))[..., 0]
+
+        repaired = jnp.clip(body + delta, 0.0, 1.0)
+        return jnp.concatenate([repaired, nyquist], axis=-1)
+
+
+class PatchDiscriminator(nn.Module):
+    """PatchGAN over (condition, magnitude) pairs (SURVEY.md §2.1 #8).
+
+    Inputs are (B, n_frames, n_freq) normalized-dB images; returns a patch
+    logit map (B, n_frames/2^L, n_freq/2^L, 1).
+    """
+
+    cfg: AdvocConfig = AdvocConfig()
+
+    @nn.compact
+    def __call__(self, condition: Array, mag: Array) -> Array:
+        cfg = self.cfg
+        x = jnp.stack([condition, mag], axis=-1) * 2.0 - 1.0
+        # Trim the Nyquist bin so spatial dims stay power-of-two.
+        x = x[..., : cfg.n_freq - 1, :].astype(cfg.compute_dtype)
+        for i in range(cfg.disc_layers):
+            f = min(cfg.disc_width * (2**i), cfg.disc_width * 8)
+            stride = (2, 2) if i < cfg.disc_layers - 1 else (1, 1)
+            x = nn.Conv(
+                f,
+                (4, 4),
+                strides=stride,
+                padding="SAME",
+                dtype=cfg.compute_dtype,
+                name=f"conv{i}",
+            )(x)
+            if i > 0:
+                x = _norm(cfg, f"norm{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        return nn.Conv(
+            1, (4, 4), padding="SAME", dtype=jnp.float32, name="logit"
+        )(x.astype(jnp.float32))
+
+
+def small_config(**overrides) -> AdvocConfig:
+    """AdVoc-small: reduced-width generator for low-latency streaming
+    vocoding (SURVEY.md §2.1 #11; BASELINE config 4)."""
+    base = dict(width=24, depth=6, disc_width=32, n_frames=64)
+    base.update(overrides)
+    return AdvocConfig(**base)

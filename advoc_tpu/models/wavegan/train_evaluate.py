@@ -1,0 +1,126 @@
+"""WaveGAN train/infer CLI (reference: ``models/wavegan/train_evaluate.py``).
+
+End-to-end waveform GAN (BASELINE config 5): z → waveform, no phase-recovery
+stage. --mode infer samples latents and writes wavs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["train", "infer"], required=True)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--model_overrides", default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--n_samples", type=int, default=8)
+    p.add_argument("--infer_dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def make_config(args):
+    from advoc_tpu.models.wavegan.model import WaveGANConfig
+    from advoc_tpu.utils import apply_overrides
+
+    return apply_overrides(WaveGANConfig(), args.model_overrides)
+
+
+def _models_and_states(cfg, seed):
+    import jax.numpy as jnp
+
+    from advoc_tpu.models.wavegan import WaveGANGenerator, WaveGANDiscriminator
+    from advoc_tpu.train import gan
+
+    g = WaveGANGenerator(cfg)
+    d = WaveGANDiscriminator(cfg)
+    z0 = jnp.zeros((1, cfg.latent_dim))
+    w0 = jnp.zeros((1, cfg.slice_len))
+    gstate, dstate = gan.make_states(
+        g, d, (z0,), (w0,), seed=seed,
+        g_tx=gan.adam(1e-4, 0.5, 0.9), d_tx=gan.adam(1e-4, 0.5, 0.9),
+    )
+    return g, d, gstate, dstate
+
+
+def train(args) -> None:
+    import jax
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.parallel import data_mesh
+    from advoc_tpu.train import gan, harness
+    from advoc_tpu.utils.config import ensure_dataset
+
+    cfg = make_config(args)
+    g, d, gstate, dstate = _models_and_states(cfg, args.seed)
+    print(f"[train] wavegan: {len(jax.devices())} device(s), "
+          f"n_critic={cfg.n_critic}", flush=True)
+
+    step = gan.make_wavegan_train_step(g, d, cfg)
+    mesh = data_mesh(args.n_devices)
+    dp_step = gan.jit_data_parallel(step, mesh, batch_axis=1)
+
+    fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
+    it = loader.decode_extract_and_batch(
+        fps, batch_size=args.batch_size * cfg.n_critic,
+        slice_len=cfg.slice_len, seed=args.seed,
+    )
+    # Reshape each (n_critic*B, T) batch to (n_critic, B, T) for the scan.
+    stacked = (
+        b.reshape(cfg.n_critic, args.batch_size, cfg.slice_len) for b in it
+    )
+    harness.train_loop(
+        dp_step, gstate, dstate, stacked, args.train_dir,
+        max_steps=args.max_steps, ckpt_every=args.ckpt_every,
+        log_every=args.log_every, seed=args.seed,
+    )
+
+
+def infer(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from advoc_tpu.data import audioio
+    from advoc_tpu.train.checkpoint import CheckpointManager
+
+    cfg = make_config(args)
+    g, d, gstate, dstate = _models_and_states(cfg, args.seed)
+    mgr = CheckpointManager(args.train_dir)
+    if mgr.latest_step() is not None:
+        bundle = mgr.restore(template={"g": gstate, "d": dstate})
+        gparams = bundle["g"].params
+        print(f"[infer] restored step {mgr.latest_step()}", flush=True)
+    else:
+        gparams = gstate.params
+        print("[infer] no checkpoint — random init", flush=True)
+    mgr.close()
+
+    z = jax.random.normal(
+        jax.random.PRNGKey(args.seed), (args.n_samples, cfg.latent_dim)
+    )
+    wavs = np.asarray(jax.jit(lambda p, z: g.apply({"params": p}, z))(gparams, z))
+    out_dir = pathlib.Path(args.infer_dir or f"{args.train_dir}/infer")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, w in enumerate(wavs):
+        path = out_dir / f"generated_{i}.wav"
+        audioio.save_as_wav(w, path, 16000)
+        print(f"[infer] wrote {path}", flush=True)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"train": train, "infer": infer}[args.mode](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Shared GAN training loop: the one harness all model families use.
+
+The reference duplicated a TF1 MonitoredTrainingSession loop per model
+directory (SURVEY.md §1 L4); here the loop is a library function. Contract
+matched: checkpoint-save every N steps + auto-resume, TensorBoard summaries,
+periodic stdout step logs, graceful stop at max_steps.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from advoc_tpu.train import metrics as metrics_lib
+from advoc_tpu.train.checkpoint import CheckpointManager
+
+
+def train_loop(
+    step_fn: Callable,
+    gstate,
+    dstate,
+    data_it: Iterator[np.ndarray],
+    train_dir: str,
+    max_steps: int = 100000,
+    ckpt_every: int = 1000,
+    log_every: int = 50,
+    summary_every: int = 100,
+    seed: int = 0,
+    hooks: list[Callable] | None = None,
+):
+    """Run the alternating-GAN loop. step_fn(gstate, dstate, batch, rng).
+
+    Resumes from the latest checkpoint in train_dir if present (the
+    reference's MonitoredTrainingSession contract, SURVEY.md §5).
+    Returns (gstate, dstate, final_step).
+    """
+    mgr = CheckpointManager(train_dir, max_to_keep=5)
+    bundle = {"g": gstate, "d": dstate}
+    bundle, start = mgr.restore_or_init(bundle)
+    gstate, dstate = bundle["g"], bundle["d"]
+    if start:
+        print(f"[train] resumed from step {start} in {train_dir}", flush=True)
+
+    writer = metrics_lib.SummaryWriter(f"{train_dir}/tb")
+    timer = metrics_lib.StepTimer(warmup=1)
+    rng = jax.random.PRNGKey(seed)
+
+    step = start
+    t_last = time.perf_counter()
+    for batch in data_it:
+        if step >= max_steps:
+            break
+        rng, srng = jax.random.split(rng)
+        gstate, dstate, m = step_fn(gstate, dstate, batch, srng)
+        step += 1
+        sps = timer.tick()
+
+        if step % log_every == 0:
+            host = metrics_lib.to_host(m)
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            rate = f"{sps:.2f} steps/s" if sps else f"{dt:.1f}s"
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
+            print(f"[train] step {step} ({rate}) {msg}", flush=True)
+        if step % summary_every == 0:
+            writer.scalars(step, metrics_lib.to_host(m))
+        if step % ckpt_every == 0:
+            mgr.save(step, {"g": gstate, "d": dstate})
+            print(f"[train] checkpoint @ {step}", flush=True)
+        if hooks:
+            for h in hooks:
+                h(step, gstate, dstate)
+
+    if step > start and step % ckpt_every != 0:
+        mgr.save(step, {"g": gstate, "d": dstate}, force=True)
+    mgr.close()
+    return gstate, dstate, step
+
+
+def eval_loop(
+    eval_fn: Callable,
+    make_states: Callable,
+    data_fn: Callable[[], Iterator[np.ndarray]],
+    train_dir: str,
+    once: bool = False,
+    timeout_s: float = 3600.0,
+    audio_fn: Callable | None = None,
+):
+    """Poll train_dir for new checkpoints; evaluate each (SURVEY.md §3.2).
+
+    eval_fn(gparams, batch) → metric dict; metrics are averaged over the eval
+    pass and written to train_dir/tb_eval. audio_fn(gparams) optionally
+    returns (tag, waveform, sample_rate) tuples to dump as audio summaries.
+    """
+    mgr = CheckpointManager(train_dir)
+    writer = metrics_lib.SummaryWriter(f"{train_dir}/tb_eval")
+    gstate, dstate = make_states()
+    template = {"g": gstate, "d": dstate}
+
+    seen = None
+    for step in mgr.poll(last_seen=None, interval_s=5.0,
+                         timeout_s=0.0 if once else timeout_s):
+        seen = step
+        bundle = mgr.restore(step, template=template)
+        gparams = bundle["g"].params
+        sums: dict[str, float] = {}
+        n = 0
+        for batch in data_fn():
+            m = metrics_lib.to_host(eval_fn(gparams, batch))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        writer.scalars(step, means)
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
+        print(f"[eval] ckpt {step}: {msg}", flush=True)
+        if audio_fn is not None:
+            for tag, wav, sr in audio_fn(gparams):
+                writer.audio(step, tag, np.asarray(wav), sr)
+        if once:
+            break
+    mgr.close()
+    return seen

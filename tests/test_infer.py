@@ -1,0 +1,154 @@
+"""Inference-path tests: fused Vocoder, chunk joining, streaming, checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advoc_tpu.data import loader
+from advoc_tpu.infer import Vocoder, StreamingVocoder
+from advoc_tpu.models.advoc import AdvocConfig, AdvocGenerator, PatchDiscriminator
+from advoc_tpu.ops import spectral as sp
+from advoc_tpu.ops.reference import DEFAULT_PARAMS
+from advoc_tpu.train import gan
+from advoc_tpu.train.checkpoint import (
+    CheckpointManager,
+    export_inference_bundle,
+    load_inference_bundle,
+)
+from advoc_tpu.train.metrics import to_host
+
+P = DEFAULT_PARAMS
+
+
+@pytest.fixture(scope="module")
+def mel():
+    wav = jnp.asarray(loader.synthetic_speech(0, 22050 * 2))
+    return sp.waveform_to_r9y9_melspec(wav, P)  # (173, 80)
+
+
+@pytest.fixture(scope="module")
+def tiny_g():
+    cfg = AdvocConfig(n_frames=64, width=8, depth=4, dtype="float32")
+    g = AdvocGenerator(cfg)
+    params = g.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+    )["params"]
+
+    def apply(p, est):
+        return g.apply({"params": p}, est)
+
+    return cfg, apply, params
+
+
+class TestVocoder:
+    def test_heuristic_vocoder_roundtrip(self, mel):
+        voc = Vocoder(params=P, gl_iters=20, chunk_frames=64)
+        wav = voc(mel)
+        assert wav.shape == (mel.shape[0] * P.hop_length,)
+        mel2 = sp.waveform_to_r9y9_melspec(wav, P)[: mel.shape[0]]
+        assert float(jnp.abs(mel2 - mel).mean()) < 0.05
+
+    def test_generator_vocoder_runs_chunked(self, mel, tiny_g):
+        cfg, apply, params = tiny_g
+        voc = Vocoder(
+            g_apply=apply, g_params=params, params=P,
+            chunk_frames=cfg.n_frames, overlap_frames=8, gl_iters=4,
+        )
+        wav = voc(mel)  # 173 frames → bucket 192 → 3 chunks of 64
+        assert wav.shape == (mel.shape[0] * P.hop_length,)
+        assert bool(jnp.isfinite(wav).all())
+
+    def test_bucketing_bounds_compiles(self, mel, tiny_g):
+        cfg, apply, params = tiny_g
+        voc = Vocoder(
+            g_apply=apply, g_params=params, params=P,
+            chunk_frames=64, overlap_frames=8, gl_iters=2,
+        )
+        voc(mel[:100])
+        voc(mel[:120])  # same bucket (128)
+        assert len(voc._cache) == 1
+        voc(mel[:130])  # next bucket (192)
+        assert len(voc._cache) == 2
+
+    def test_batched_input(self, mel, tiny_g):
+        cfg, apply, params = tiny_g
+        voc = Vocoder(g_apply=apply, g_params=params, gl_iters=2, chunk_frames=64)
+        mels = jnp.stack([mel[:64], mel[64:128]])
+        wavs = voc(mels)
+        assert wavs.shape == (2, 64 * P.hop_length)
+
+    def test_identity_generator_join_is_lossless(self, mel):
+        """An identity generator through the overlapped chunk/crossfade-join
+        must reconstruct the heuristic magnitude (weights normalize out).
+        Compared pre-phase-recovery: GL amplifies float noise chaotically."""
+        voc_g = Vocoder(
+            g_apply=lambda p, est: est, g_params=None, params=P,
+            chunk_frames=64, overlap_frames=16, gl_iters=0,
+        )
+        voc_h = Vocoder(params=P, chunk_frames=64, gl_iters=0)
+        # gl_iters=0 → griffin_lim returns istft of zero-phase mag: linear in
+        # mag, so equality here certifies the joined magnitude itself.
+        w1, w2 = voc_g(mel[:128]), voc_h(mel[:128])
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=2e-5)
+
+
+class TestStreamingVocoder:
+    def test_stream_chunks(self, mel):
+        sv = StreamingVocoder(params=P, chunk_frames=64, overlap_frames=8, gl_iters=4)
+        chunks = [np.asarray(mel[i * 64 : (i + 1) * 64]) for i in range(2)]
+        outs = [sv.push(c) for c in chunks]
+        emit_len = 64 * P.hop_length - 8 * P.hop_length
+        assert all(o.shape == (emit_len,) for o in outs)
+        assert np.isfinite(np.concatenate(outs)).all()
+        sv.reset()
+        assert sv._state_wav is None
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path, tiny_g):
+        cfg, _, _ = tiny_g
+        g = AdvocGenerator(cfg)
+        d = PatchDiscriminator(cfg)
+        est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+        gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0))
+        mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        bundle = {"g": gstate.params, "d": dstate.params, "step": 7}
+        assert mgr.save(7, bundle)
+        assert mgr.latest_step() == 7
+        restored = mgr.restore(template=bundle)
+        for a, b in zip(jax.tree.leaves(bundle), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+    def test_restore_or_init_fresh(self, tmp_path, tiny_g):
+        cfg, _, params = tiny_g
+        mgr = CheckpointManager(tmp_path / "empty")
+        state, step = mgr.restore_or_init({"p": params})
+        assert step == 0
+        mgr.close()
+
+    def test_keep_k_and_poll(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "k", max_to_keep=2)
+        for s in [1, 2, 3]:
+            mgr.save(s, {"x": np.arange(4.0)})
+        assert mgr.latest_step() == 3
+        steps = list(mgr.poll(last_seen=None, interval_s=0.01, timeout_s=0.05))
+        assert steps == [3]
+        mgr.close()
+
+    def test_inference_bundle(self, tmp_path, tiny_g):
+        cfg, _, params = tiny_g
+        export_inference_bundle(tmp_path / "bundle", params, {"width": cfg.width})
+        p2, conf = load_inference_bundle(tmp_path / "bundle", template=params)
+        assert conf["width"] == cfg.width
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMetrics:
+    def test_to_host_single_transfer(self):
+        m = {"a": jnp.float32(1.5), "b": jnp.float32(-2.0)}
+        h = to_host(m)
+        assert h == {"a": 1.5, "b": -2.0}

@@ -1,0 +1,115 @@
+"""Model forward-pass shape/range tests (SURVEY.md §4 item c)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advoc_tpu.models.advoc import AdvocConfig, AdvocGenerator, PatchDiscriminator
+from advoc_tpu.models.advoc.model import small_config
+from advoc_tpu.models.wavegan import (
+    WaveGANConfig,
+    WaveGANGenerator,
+    WaveGANDiscriminator,
+)
+from advoc_tpu.models.wavegan.model import phase_shuffle
+from advoc_tpu.models.melspecgan import (
+    MelSpecGANConfig,
+    MelSpecGANGenerator,
+    MelSpecGANDiscriminator,
+)
+
+TINY = AdvocConfig(n_frames=64, width=8, depth=4, disc_width=8)
+
+
+class TestAdvocModels:
+    def test_generator_shapes_and_range(self):
+        g = AdvocGenerator(TINY)
+        est = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 513))
+        params = g.init(jax.random.PRNGKey(1), est)["params"]
+        out = g.apply({"params": params}, est)
+        assert out.shape == (2, 64, 513)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    def test_nyquist_passthrough(self):
+        g = AdvocGenerator(TINY)
+        est = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 513))
+        params = g.init(jax.random.PRNGKey(1), est)["params"]
+        out = g.apply({"params": params}, est)
+        np.testing.assert_array_equal(np.asarray(out[..., -1]), np.asarray(est[..., -1]))
+
+    def test_discriminator_patch_output(self):
+        d = PatchDiscriminator(TINY)
+        cond = jnp.zeros((2, 64, 513))
+        mag = jnp.zeros((2, 64, 513))
+        params = d.init(jax.random.PRNGKey(0), cond, mag)["params"]
+        logits = d.apply({"params": params}, cond, mag)
+        # disc_layers=4, 3 of them stride 2: 64/8=8, 512/8=64
+        assert logits.shape == (2, 8, 64, 1)
+
+    def test_small_variant_is_config_not_code(self):
+        cfg = small_config()
+        assert cfg.width < AdvocConfig().width
+        g = AdvocGenerator(cfg)
+        est = jnp.zeros((1, cfg.n_frames, 513))
+        params = g.init(jax.random.PRNGKey(0), est)["params"]
+        out = g.apply({"params": params}, est)
+        assert out.shape == (1, cfg.n_frames, 513)
+
+    def test_param_count_scales_with_width(self):
+        def count(cfg):
+            g = AdvocGenerator(cfg)
+            p = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 513)))["params"]
+            return sum(x.size for x in jax.tree.leaves(p))
+
+        full = count(AdvocConfig(n_frames=64, width=16, depth=4))
+        small = count(AdvocConfig(n_frames=64, width=8, depth=4))
+        assert small < full / 2.5  # ~quadratic in width
+
+
+class TestWaveGAN:
+    CFG = WaveGANConfig(slice_len=1024, latent_dim=32, width=16, phase_shuffle=2)
+
+    def test_generator_output(self):
+        g = WaveGANGenerator(self.CFG)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+        params = g.init(jax.random.PRNGKey(1), z)["params"]
+        wav = g.apply({"params": params}, z)
+        assert wav.shape == (2, 1024)
+        assert float(jnp.abs(wav).max()) <= 1.0
+
+    def test_discriminator_logit(self):
+        d = WaveGANDiscriminator(self.CFG)
+        wav = jax.random.normal(jax.random.PRNGKey(0), (2, 1024)) * 0.1
+        params = d.init(jax.random.PRNGKey(1), wav, rng=jax.random.PRNGKey(2))["params"]
+        logits = d.apply({"params": params}, wav, rng=jax.random.PRNGKey(3))
+        assert logits.shape == (2,)
+
+    def test_phase_shuffle_exact(self):
+        x = jnp.arange(8.0).reshape(1, 8, 1)
+        # shift +1: output[t] = padded[rad+1+t] = x[t+1] (reflect at tail)
+        out = phase_shuffle(x, jnp.array([1]), rad=2)
+        np.testing.assert_array_equal(
+            np.asarray(out[0, :, 0]), np.array([1, 2, 3, 4, 5, 6, 7, 6], np.float32)
+        )
+        out0 = phase_shuffle(x, jnp.array([0]), rad=2)
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
+
+
+class TestMelSpecGAN:
+    CFG = MelSpecGANConfig(latent_dim=32, width=16)
+
+    def test_generator_output(self):
+        g = MelSpecGANGenerator(self.CFG)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+        params = g.init(jax.random.PRNGKey(1), z)["params"]
+        mel = g.apply({"params": params}, z)
+        assert mel.shape == (2, 64, 80)
+        assert float(mel.min()) >= 0.0 and float(mel.max()) <= 1.0
+
+    def test_discriminator_logit(self):
+        d = MelSpecGANDiscriminator(self.CFG)
+        mel = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 80))
+        params = d.init(jax.random.PRNGKey(1), mel)["params"]
+        assert d.apply({"params": params}, mel).shape == (2,)
