@@ -1,0 +1,145 @@
+"""Headline benchmark: fused mel→waveform vocoding real-time factor per chip.
+
+Prints ONE JSON line:
+  {"metric": "vocoding_realtime_factor", "value": <xRT>, "unit": "x_realtime",
+   "vs_baseline": <xRT / 100>}
+
+BASELINE.md north-star: ≥100× real time per TPU v5e chip for the full advoc
+path (heuristic estimate → full-width U-Net generator → fast-GL phase
+recovery scan → waveform) at 22050 Hz. vs_baseline is therefore value/100
+(>1.0 beats the target).
+
+Methodology: random-init full-size generator (throughput is independent of
+weight values), batch of mel chunks covering ~95 s of audio, ONE fused jit,
+warmup call, then timed calls with ``block_until_ready`` and a final single
+array readback (per the axon-tunnel rules in .claude/skills/verify/SKILL.md).
+Secondary configs (BASELINE.md 1–5) are reported on stderr; the driver
+contract line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.models.advoc import AdvocConfig, AdvocGenerator
+    from advoc_tpu.models.advoc.model import small_config
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev}")
+
+    # --- build the full advoc inference graph (BASELINE config 2, fused) ---
+    cfg = AdvocConfig()  # full 64-wide, 256-frame chunks
+    g = AdvocGenerator(cfg)
+    rng = jax.random.PRNGKey(0)
+    est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+    gparams = g.init(rng, est0)["params"]
+
+    B = 32  # 32 chunks × 256 frames × 256 hop / 22050 Hz ≈ 95 s of audio
+    GL_ITERS = 30
+
+    def fused_vocode(params, mel):
+        est = spectral.r9y9_melspec_to_magspec(mel, P)
+        est_norm = spectral.normalize_db(
+            spectral.amp_to_db(est, P) - P.ref_level_db, P
+        )
+        repaired = g.apply({"params": params}, est_norm)
+        mag = spectral.db_to_amp(
+            spectral.denormalize_db(repaired, P) + P.ref_level_db
+        )
+        return spectral.griffin_lim(
+            mag, cfg.n_frames * P.hop_length, n_iters=GL_ITERS,
+            momentum=0.99, params=P,
+        )
+
+    vocode = jax.jit(fused_vocode)
+
+    # Real speech-like mels (content irrelevant to throughput, but honest).
+    wav = loader.synthetic_speech(0, B * cfg.n_frames * P.hop_length)
+    mel = spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+    mel = mel[: B * cfg.n_frames].reshape(B, cfg.n_frames, P.n_mels)
+    mel = jax.device_put(mel)
+
+    log("[bench] compiling fused vocoder (full U-Net + 30-iter fast-GL)...")
+    t0 = time.perf_counter()
+    out = vocode(gparams, mel)
+    jax.block_until_ready(out)
+    log(f"[bench] compiled in {time.perf_counter()-t0:.1f}s; "
+        f"out {out.shape} {out.dtype}")
+
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        out = vocode(gparams, mel)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"[bench] trial {trial}: {dt*1000:.1f} ms")
+
+    audio_seconds = B * cfg.n_frames * P.hop_length / P.sample_rate
+    xrt = audio_seconds / best
+    log(f"[bench] {audio_seconds:.1f}s audio in {best*1000:.1f}ms "
+        f"→ {xrt:.0f}× realtime ({xrt*P.sample_rate/1e6:.2f}M samples/s/chip)")
+
+    # Sanity: output finite (single readback of a reduced value).
+    finite = bool(jax.device_get(jnp.isfinite(out).all()))
+    assert finite, "non-finite vocoder output"
+
+    # --- secondary: small-footprint streaming config (BASELINE config 4) ---
+    try:
+        scfg = small_config()
+        sg = AdvocGenerator(scfg)
+        sparams = sg.init(rng, jnp.zeros((1, scfg.n_frames, scfg.n_freq)))["params"]
+
+        def stream_vocode(params, mel):
+            est = spectral.r9y9_melspec_to_magspec(mel, P)
+            est_norm = spectral.normalize_db(
+                spectral.amp_to_db(est, P) - P.ref_level_db, P
+            )
+            repaired = sg.apply({"params": params}, est_norm)
+            mag = spectral.db_to_amp(
+                spectral.denormalize_db(repaired, P) + P.ref_level_db
+            )
+            return spectral.griffin_lim(
+                mag, scfg.n_frames * P.hop_length, n_iters=16,
+                momentum=0.99, params=P,
+            )
+
+        svoc = jax.jit(stream_vocode)
+        smel = mel[:1, : scfg.n_frames]
+        jax.block_until_ready(svoc(sparams, smel))
+        t0 = time.perf_counter()
+        N = 10
+        for _ in range(N):
+            out2 = svoc(sparams, smel)
+            jax.block_until_ready(out2)
+        lat = (time.perf_counter() - t0) / N
+        chunk_s = scfg.n_frames * P.hop_length / P.sample_rate
+        log(f"[bench] streaming small: {lat*1000:.2f} ms/chunk "
+            f"({chunk_s*1000:.0f} ms audio → {chunk_s/lat:.0f}× realtime)")
+    except Exception as e:  # secondary must never sink the headline line
+        log(f"[bench] streaming secondary failed: {e}")
+
+    print(json.dumps({
+        "metric": "vocoding_realtime_factor",
+        "value": round(xrt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 100.0, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
