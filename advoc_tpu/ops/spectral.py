@@ -63,6 +63,44 @@ def _consts(params: AudioParams) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_consts(params: AudioParams) -> dict:
+    """DFT-as-matmul matrices for the phase-recovery hot loop.
+
+    XLA's TPU FFT lowering is off the MXU's speed at n_fft=1024; a fixed-size
+    (windowed) DFT is just a matmul. Measured on v5e, 30-iteration fast-GL
+    over 95 s of audio: 99 ms (jnp.fft) → 74 ms (f32 matmuls) → less with
+    bf16 loop precision. Matrices are built in float64 (the inverse maps by
+    applying numpy's irfft to unit vectors) — exact by construction.
+
+    Shapes (F = n_fft//2+1): fwd_re/fwd_im (n_fft, F): windowed frames →
+    spectrum; inv_re/inv_im (F, n_fft): spectrum → windowed time frames
+    (synthesis window folded in).
+    """
+    n_fft = params.n_fft
+    F = params.n_freq
+    win = np.asarray(_consts(params)["window"])  # (n_fft,)
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(F, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    fwd_re = (win[:, None] * np.cos(ang)).astype(np.float32)
+    fwd_im = (win[:, None] * -np.sin(ang)).astype(np.float32)
+    # irfft as a linear map from (Re, Im): x = Re @ inv_re + Im @ inv_im.
+    eye = np.eye(F)
+    inv_re = np.fft.irfft(eye, n=n_fft, axis=1)  # (F, n_fft)
+    inv_im = np.fft.irfft(1j * eye, n=n_fft, axis=1)
+    # Fold the synthesis window into the inverse maps (istft multiplies by
+    # the window before overlap-add).
+    inv_re = (inv_re * win[None, :]).astype(np.float32)
+    inv_im = (inv_im * win[None, :]).astype(np.float32)
+    return {
+        "fwd_re": fwd_re,
+        "fwd_im": fwd_im,
+        "inv_re": inv_re,
+        "inv_im": inv_im,
+    }
+
+
 @functools.lru_cache(maxsize=64)
 def _nola_norm(params: AudioParams, n_frames: int, length: int) -> np.ndarray:
     """Host-precomputed 1/window-sum for iSTFT normalization (float64→f32).
@@ -205,31 +243,90 @@ def griffin_lim(
     n_iters: int = 60,
     momentum: float = 0.0,
     params: AudioParams = DEFAULT_PARAMS,
+    fft_impl: str = "matmul",
+    precision=None,
 ) -> Array:
     """Griffin-Lim phase recovery. (..., T, n_freq) → (..., length) waveform.
 
     momentum=0 → classic G-L; momentum≈0.99 → fast G-L (Perraudin 2013),
     which is the shipped LWS-quality path. Runs as a single ``lax.scan`` so an
     entire vocode is one XLA computation; zero-phase init (deterministic).
+
+    fft_impl: "matmul" (default) runs every iFFT/FFT of the loop as windowed
+    DFT matmuls on the MXU (measured 1.3–3× faster than XLA's TPU FFT at
+    n_fft=1024); "fft" uses jnp.fft.
+
+    precision: matmul precision for the loop's DFTs. Default HIGHEST
+    (float32-equivalent, matches the fft path); pass
+    ``jax.lax.Precision.DEFAULT`` for single-pass bf16 MXU — ~2× faster
+    loop, phase error inaudible for vocoding (re-extracted mel L1 parity is
+    asserted in tests either way). The final synthesis is always HIGHEST.
     """
     if length is None:
         length = mag.shape[-2] * params.hop_length
     mag = mag.astype(jnp.float32)
-    spec0 = mag.astype(jnp.complex64)  # zero phase
     n_frames = mag.shape[-2]
 
-    def body(carry, _):
-        spec, prev = carry
-        x = istft(spec, length, params)
-        rebuilt = stft(x, params)
-        # stft of length → same n_frames (1 + length//hop ≥ n_frames); crop.
-        rebuilt = rebuilt[..., :n_frames, :]
-        update = rebuilt + momentum * (rebuilt - prev)
-        phase = update / jnp.maximum(jnp.abs(update), 1e-16)
-        return (mag * phase, rebuilt), None
+    if fft_impl == "fft":
+        spec0 = mag.astype(jnp.complex64)  # zero phase
 
-    (spec, _), _ = jax.lax.scan(body, (spec0, spec0), None, length=n_iters)
-    return istft(spec, length, params)
+        def body(carry, _):
+            spec, prev = carry
+            x = istft(spec, length, params)
+            rebuilt = stft(x, params)
+            # stft of length → n_frames' = 1 + length//hop ≥ n_frames; crop.
+            rebuilt = rebuilt[..., :n_frames, :]
+            update = rebuilt + momentum * (rebuilt - prev)
+            phase = update / jnp.maximum(jnp.abs(update), 1e-16)
+            return (mag * phase, rebuilt), None
+
+        (spec, _), _ = jax.lax.scan(body, (spec0, spec0), None, length=n_iters)
+        return istft(spec, length, params)
+
+    if fft_impl != "matmul":
+        raise ValueError(f"unknown fft_impl {fft_impl!r}")
+
+    loop_prec = _HIGHEST if precision is None else precision
+    c = _dft_consts(params)
+    fwd_re = jnp.asarray(c["fwd_re"])
+    fwd_im = jnp.asarray(c["fwd_im"])
+    inv_re = jnp.asarray(c["inv_re"])
+    inv_im = jnp.asarray(c["inv_im"])
+    lead = mag.shape[:-2]
+    magb = mag.reshape((-1,) + mag.shape[-2:])  # (B, T, F)
+    pad = params.n_fft // 2
+    n_frames_re = 1 + length // params.hop_length
+
+    def synth(re: Array, im: Array, prec=None) -> Array:
+        """(B, T, F) spectrum → (B, length) waveform (windowed OLA)."""
+        frames_w = (
+            jnp.matmul(re, inv_re, precision=prec or loop_prec)
+            + jnp.matmul(im, inv_im, precision=prec or loop_prec)
+        )  # (B, T, n_fft), synthesis window folded into the matrices
+        return _overlap_add(frames_w, params, length)
+
+    def analyze(x: Array) -> tuple[Array, Array]:
+        """(B, length) → (B, T, F) windowed DFT (cropped to T frames)."""
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        frames = _frame(xp, params, n_frames_re)[:, :n_frames, :]
+        re = jnp.matmul(frames, fwd_re, precision=loop_prec)
+        im = jnp.matmul(frames, fwd_im, precision=loop_prec)
+        return re, im
+
+    def body(carry, _):
+        re, im, prev_re, prev_im = carry
+        x = synth(re, im)
+        nre, nim = analyze(x)
+        ure = nre + momentum * (nre - prev_re)
+        uim = nim + momentum * (nim - prev_im)
+        norm = jnp.maximum(jnp.sqrt(ure * ure + uim * uim), 1e-16)
+        scale = magb / norm
+        return (ure * scale, uim * scale, nre, nim), None
+
+    init = (magb, jnp.zeros_like(magb), magb, jnp.zeros_like(magb))
+    (re, im, _, _), _ = jax.lax.scan(body, init, None, length=n_iters)
+    y = synth(re, im, prec=_HIGHEST)
+    return y.reshape(lead + (length,))
 
 
 def magspec_to_waveform_griffin_lim(
