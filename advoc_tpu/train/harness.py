@@ -30,12 +30,18 @@ def train_loop(
     summary_every: int = 100,
     seed: int = 0,
     hooks: list[Callable] | None = None,
+    nan_check_every: int = 200,
 ):
     """Run the alternating-GAN loop. step_fn(gstate, dstate, batch, rng).
 
     Resumes from the latest checkpoint in train_dir if present (the
     reference's MonitoredTrainingSession contract, SURVEY.md §5).
-    Returns (gstate, dstate, final_step).
+
+    NaN guard (SURVEY.md §5 sanitizer row): every ``nan_check_every`` steps
+    the metric dict is checked on host; on the first non-finite value the
+    loop saves a ``<step>-diverged`` checkpoint and raises — GAN divergence
+    should kill the run loudly, not silently train garbage. Set to 0 to
+    disable. Returns (gstate, dstate, final_step).
     """
     mgr = CheckpointManager(train_dir, max_to_keep=5)
     bundle = {"g": gstate, "d": dstate}
@@ -57,6 +63,17 @@ def train_loop(
         gstate, dstate, m = step_fn(gstate, dstate, batch, srng)
         step += 1
         sps = timer.tick()
+
+        if nan_check_every and step % nan_check_every == 0:
+            host = metrics_lib.to_host(m)
+            bad = {k: v for k, v in host.items() if not np.isfinite(v)}
+            if bad:
+                mgr.save(step, {"g": gstate, "d": dstate}, force=True)
+                mgr.close()
+                raise FloatingPointError(
+                    f"non-finite training metrics at step {step}: {bad} "
+                    f"(diverged checkpoint saved to {train_dir})"
+                )
 
         if step % log_every == 0:
             host = metrics_lib.to_host(m)
