@@ -107,6 +107,17 @@ def decode_extract_and_batch(
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     _SENTINEL = object()
 
+    def put_or_stop(item) -> bool:
+        """Bounded put that never deadlocks: if the consumer stopped (queue
+        full forever), give up instead of blocking the thread for good."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         pool = ThreadPoolExecutor(max_workers=num_workers)
         try:
@@ -117,14 +128,15 @@ def decode_extract_and_batch(
                 batch.append(item)
                 if len(batch) == batch_size:
                     arrs = list(pool.map(decode_one, batch))
-                    q.put(np.stack(arrs))
+                    if not put_or_stop(np.stack(arrs)):
+                        return
                     batch = []
             if batch and not drop_remainder:
                 arrs = list(pool.map(decode_one, batch))
-                q.put(np.stack(arrs))
+                put_or_stop(np.stack(arrs))
         finally:
             pool.shutdown(wait=False)
-            q.put(_SENTINEL)
+            put_or_stop(_SENTINEL)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

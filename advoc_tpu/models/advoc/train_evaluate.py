@@ -118,9 +118,12 @@ def evaluate(args) -> None:
     slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
 
     def data_fn():
+        # drop_remainder=False: small eval sets must still yield their final
+        # partial batch (with 8 fixture files and batch 16 the whole pass
+        # would otherwise be empty).
         return loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=slice_len,
-            repeat=False, shuffle=False,
+            repeat=False, shuffle=False, drop_remainder=False,
         )
 
     def audio_fn(gparams):

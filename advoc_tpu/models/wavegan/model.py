@@ -29,6 +29,7 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class WaveGANConfig:
     slice_len: int = 16384
+    sample_rate: int = 16000     # SC09/WaveGAN convention
     latent_dim: int = 100
     width: int = 64              # "model dim" d; channels scale in powers of 2
     kernel: int = 24

@@ -113,7 +113,7 @@ def infer(args) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, w in enumerate(wavs):
         path = out_dir / f"generated_{i}.wav"
-        audioio.save_as_wav(w, path, 16000)
+        audioio.save_as_wav(w, path, cfg.sample_rate)
         print(f"[infer] wrote {path}", flush=True)
 
 

@@ -1,0 +1,234 @@
+"""Pallas fast-Griffin-Lim kernel: the whole phase-recovery loop in VMEM.
+
+The BASELINE north-star names "Griffin-Lim/LWS phase recovery … as a
+jax.lax.scan of fused iFFT→window-overlap-add→FFT iterations"; this kernel
+goes one step further than the XLA scan: for a fixed 256-frame chunk the
+*entire* iteration loop runs inside one Pallas program with every carry
+(spectrum, frames, overlap-add signal) resident in VMEM — HBM sees one read
+of the magnitude and one write of the waveform, instead of one
+carry-roundtrip per iteration.
+
+Per iteration (all on-chip):
+  1. synthesis: windowed iDFT as two MXU matmuls (re/im × inv maps)
+  2. overlap-add in the hop-block domain (4 shifted sublane adds) + NOLA
+  3. analysis with no re-framing: frames@W == Σₖ blocks[i+k] @ W_k, i.e.
+     4 banded MXU matmuls over sublane-shifted block views (Mosaic rejects
+     the equivalent lane-concat, and this needs no (T, n_fft) temp)
+  4. fast-GL momentum update + magnitude projection (VPU)
+
+Measured (v5e, 32×256-frame chunks = 95 s audio, 30 iters, vs the XLA
+matmul-GL in ops.spectral): f32-faithful 68 ms vs 74 ms; bf16 loop 34 ms vs
+43 ms. Quality (re-extracted mel L1): f32 0.0129 ≈ XLA-DEFAULT 0.0129;
+bf16 0.0217 — pick bf16 only when throughput beats fidelity.
+
+Boundary semantics: the XLA path (ops.spectral.griffin_lim) crops to the
+chunk length and reflect-pads before each re-analysis; this kernel iterates
+on the uncropped overlap-add signal instead (reflection is a lane-reversal
+Mosaic handles poorly). The first/last ~3 frames of a chunk therefore differ
+slightly from the XLA path — exactly the region the Vocoder's 32-frame
+crossfade blends away. Re-extraction quality parity is asserted in tests.
+
+Frequency axis is zero-padded 513 → 640 lanes; padded magnitude columns are
+zero, so the projection keeps them zero and the padded inv-map rows are zero
+— the padding is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from advoc_tpu.ops import reference as ref
+from advoc_tpu.ops import spectral
+from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
+
+F_PAD = 640  # 513 rfft bins padded to a lane multiple
+
+
+@functools.lru_cache(maxsize=8)
+def _gl_consts(params: AudioParams, t_frames: int, loop_dtype: str = "float32"):
+    """Padded DFT maps + f32 NOLA normalizations (uncropped signal).
+
+    loop_dtype="float32" (default): f32 carries + 3-pass MXU → XLA-quality.
+    loop_dtype="bfloat16": single-pass MXU, ~2× faster loop, ~0.01 worse
+    re-extracted mel L1 — the throughput mode.
+    """
+    n_fft, hop = params.n_fft, params.hop_length
+    F = params.n_freq
+    c = spectral._dft_consts(params)
+    fwd_re = np.zeros((n_fft, F_PAD), np.float32)
+    fwd_im = np.zeros((n_fft, F_PAD), np.float32)
+    fwd_re[:, :F] = c["fwd_re"]
+    fwd_im[:, :F] = c["fwd_im"]
+    inv_re = np.zeros((F_PAD, n_fft), np.float32)
+    inv_im = np.zeros((F_PAD, n_fft), np.float32)
+    inv_re[:F] = c["inv_re"]
+    inv_im[:F] = c["inv_im"]
+
+    # NOLA over the UNcropped OLA signal of t_frames windows, in hop blocks.
+    r = n_fft // hop
+    n_blocks = t_frames + r - 1
+    wsq = spectral._consts(params)["window_sq"]
+    wsum = np.zeros(n_blocks * hop, np.float64)
+    for i in range(t_frames):
+        wsum[i * hop : i * hop + n_fft] += wsq
+    norm = (1.0 / np.maximum(wsum, 1e-11)).reshape(n_blocks, hop)
+    # 8-row-aligned scratch: pad blocks up.
+    n_blocks_pad = -(-n_blocks // 8) * 8
+    norm_pad = np.zeros((n_blocks_pad, hop), np.float64)
+    norm_pad[:n_blocks] = norm
+    dt = jnp.dtype(loop_dtype)
+    return (
+        fwd_re.astype(dt),
+        fwd_im.astype(dt),
+        inv_re.astype(dt),
+        inv_im.astype(dt),
+        norm_pad.astype(np.float32),
+        n_blocks_pad,
+    )
+
+
+def _gl_kernel(
+    mag_ref,      # (1, T, F_PAD) VMEM — magnitudes (padded cols zero)
+    fwd_re_ref,   # (n_fft, F_PAD) bf16
+    fwd_im_ref,
+    inv_re_ref,   # (F_PAD, n_fft) bf16
+    inv_im_ref,
+    norm_ref,     # (n_blocks_pad, hop) f32
+    out_ref,      # (1, n_blocks_pad, hop) VMEM — OLA waveform blocks
+    re_ref,       # (T, F_PAD) f32 scratch
+    im_ref,
+    pre_ref,
+    pim_ref,
+    y_ref,        # (n_blocks_pad, hop) f32 scratch
+    *,
+    t_frames: int,
+    hop: int,
+    n_iters: int,
+    momentum: float,
+    loop_dtype,
+):
+    r = 4  # n_fft // hop for the r9y9 params
+    # float32 mode: force 3-pass bf16 (f32-faithful) MXU passes — a plain
+    # f32 jnp.dot in a kernel silently runs single-pass bf16 multiplies.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if loop_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    mag = mag_ref[0]
+    re_ref[:] = mag  # zero-phase init
+    im_ref[:] = jnp.zeros_like(mag)
+    pre_ref[:] = mag
+    pim_ref[:] = jnp.zeros_like(mag)
+
+    def synth_ola():
+        frames = (
+            jnp.dot(re_ref[:].astype(loop_dtype), inv_re_ref[:],
+                    preferred_element_type=jnp.float32, precision=prec)
+            + jnp.dot(im_ref[:].astype(loop_dtype), inv_im_ref[:],
+                      preferred_element_type=jnp.float32, precision=prec)
+        )  # (T, n_fft) windowed time frames
+        y_ref[:] = jnp.zeros_like(y_ref)
+        for k in range(r):
+            y_ref[k : k + t_frames, :] += frames[:, k * hop : (k + 1) * hop]
+        y_ref[:] = y_ref[:] * norm_ref[:]
+
+    def body(i, _):
+        synth_ola()
+        # Analysis without re-framing: frames @ W == Σ_k blocks[i+k] @ W_k
+        # (banded matmuls over sublane-shifted block views — Mosaic rejects
+        # the equivalent lane-concat, and this needs no (T, n_fft) temp).
+        nre = jnp.zeros((t_frames, mag_ref.shape[-1]), jnp.float32)
+        nim = jnp.zeros((t_frames, mag_ref.shape[-1]), jnp.float32)
+        for k in range(r):
+            band = y_ref[k : k + t_frames, :].astype(loop_dtype)
+            nre += jnp.dot(band, fwd_re_ref[k * hop : (k + 1) * hop, :],
+                           preferred_element_type=jnp.float32, precision=prec)
+            nim += jnp.dot(band, fwd_im_ref[k * hop : (k + 1) * hop, :],
+                           preferred_element_type=jnp.float32, precision=prec)
+        ure = nre + momentum * (nre - pre_ref[:])
+        uim = nim + momentum * (nim - pim_ref[:])
+        scale = mag_ref[0] * jax.lax.rsqrt(ure * ure + uim * uim + 1e-12)
+        re_ref[:] = ure * scale
+        im_ref[:] = uim * scale
+        pre_ref[:] = nre
+        pim_ref[:] = nim
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+    synth_ola()
+    out_ref[0] = y_ref[:]
+
+
+def griffin_lim_pallas(
+    mag: jax.Array,
+    n_iters: int = 30,
+    momentum: float = 0.99,
+    params: AudioParams = DEFAULT_PARAMS,
+    interpret: bool = False,
+    loop_dtype: str = "float32",
+) -> jax.Array:
+    """(B, T, n_freq) magnitudes → (B, T*hop) waveform; whole loop in VMEM.
+
+    T should be the vocoder chunk size (≤ ~512 frames for VMEM). Boundary
+    semantics per module docstring (uncropped-OLA iteration).
+    """
+    assert mag.ndim == 3, mag.shape
+    b, t_frames, F = mag.shape
+    hop, n_fft = params.hop_length, params.n_fft
+    assert F == params.n_freq and n_fft // hop == 4
+    fwd_re, fwd_im, inv_re, inv_im, norm, n_blocks_pad = _gl_consts(
+        params, t_frames, loop_dtype
+    )
+    magp = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, 0), (0, F_PAD - F)))
+
+    kern = functools.partial(
+        _gl_kernel,
+        t_frames=t_frames,
+        hop=hop,
+        n_iters=n_iters,
+        momentum=momentum,
+        loop_dtype=jnp.dtype(loop_dtype),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_frames, F_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_blocks_pad, hop), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks_pad, hop), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((t_frames, F_PAD), jnp.float32),
+            pltpu.VMEM((t_frames, F_PAD), jnp.float32),
+            pltpu.VMEM((t_frames, F_PAD), jnp.float32),
+            pltpu.VMEM((t_frames, F_PAD), jnp.float32),
+            pltpu.VMEM((n_blocks_pad, hop), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        magp,
+        jnp.asarray(fwd_re),
+        jnp.asarray(fwd_im),
+        jnp.asarray(inv_re),
+        jnp.asarray(inv_im),
+        jnp.asarray(norm),
+    )
+    # Crop: samples [pad, pad + T*hop) = blocks [2, 2 + T) of the OLA signal.
+    pad_blocks = (n_fft // 2) // hop  # = 2
+    y = out[:, pad_blocks : pad_blocks + t_frames, :]
+    return y.reshape(b, t_frames * hop)

@@ -283,6 +283,25 @@ def griffin_lim(
         (spec, _), _ = jax.lax.scan(body, (spec0, spec0), None, length=n_iters)
         return istft(spec, length, params)
 
+    if fft_impl == "pallas":
+        # Whole loop VMEM-resident in one Pallas program (3-D input only).
+        from advoc_tpu.ops.pallas.griffin_lim import griffin_lim_pallas
+
+        if mag.ndim != 3 or length != mag.shape[-2] * params.hop_length:
+            raise ValueError(
+                "fft_impl='pallas' needs (B, T, F) magnitudes and the "
+                "default length"
+            )
+        loop_dtype = (
+            "bfloat16"
+            if precision == jax.lax.Precision.DEFAULT
+            else "float32"
+        )
+        return griffin_lim_pallas(
+            mag, n_iters=n_iters, momentum=momentum, params=params,
+            loop_dtype=loop_dtype,
+        )
+
     if fft_impl != "matmul":
         raise ValueError(f"unknown fft_impl {fft_impl!r}")
 

@@ -1,0 +1,62 @@
+"""Audio/spectrogram evaluation metrics.
+
+The reference evaluated with spectrogram L1 (its parity metric, SURVEY.md
+§3.2) and human listening. This module ships L1 plus the standard objective
+vocoder metrics so eval runs quantify quality without MOS panels. All
+jittable, batched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from advoc_tpu.ops import spectral
+from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
+
+Array = jax.Array
+
+
+def spectrogram_l1(mag_a: Array, mag_b: Array) -> Array:
+    """Mean |a−b| over magnitude spectrograms (the reference's metric)."""
+    return jnp.mean(jnp.abs(mag_a - mag_b))
+
+
+def log_spectral_distance(
+    mag_a: Array, mag_b: Array, eps: float = 1e-5
+) -> Array:
+    """LSD in dB: RMS over frequency of the log-magnitude difference,
+    averaged over frames. (..., T, F) → scalar."""
+    la = 20.0 * jnp.log10(jnp.maximum(mag_a, eps))
+    lb = 20.0 * jnp.log10(jnp.maximum(mag_b, eps))
+    per_frame = jnp.sqrt(jnp.mean((la - lb) ** 2, axis=-1))
+    return jnp.mean(per_frame)
+
+
+def snr_db(x: Array, y: Array, eps: float = 1e-12) -> Array:
+    """Signal-to-noise ratio of y against reference x, in dB."""
+    num = jnp.sum(x * x, axis=-1)
+    den = jnp.sum((x - y) ** 2, axis=-1) + eps
+    return jnp.mean(10.0 * jnp.log10(num / den + eps))
+
+
+def mel_l1(wav_a: Array, wav_b: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
+    """Re-extracted normalized-mel L1 between two waveforms — the round-trip
+    quality number used throughout this repo's tests and benchmarks."""
+    ma = spectral.waveform_to_r9y9_melspec(wav_a, params)
+    mb = spectral.waveform_to_r9y9_melspec(wav_b, params)
+    return jnp.mean(jnp.abs(ma - mb))
+
+
+def vocoder_eval(
+    wav_ref: Array, wav_gen: Array, params: AudioParams = DEFAULT_PARAMS
+) -> dict[str, Array]:
+    """Full objective panel comparing generated audio against reference."""
+    mag_ref = spectral.waveform_to_magspec(wav_ref, params)
+    mag_gen = spectral.waveform_to_magspec(wav_gen, params)
+    return {
+        "spec_l1": spectrogram_l1(mag_gen, mag_ref),
+        "lsd_db": log_spectral_distance(mag_gen, mag_ref),
+        "snr_db": snr_db(wav_ref, wav_gen),
+        "mel_l1": mel_l1(wav_ref, wav_gen, params),
+    }

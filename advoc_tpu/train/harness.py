@@ -94,6 +94,9 @@ def train_loop(
     if step > start and step % ckpt_every != 0:
         mgr.save(step, {"g": gstate, "d": dstate}, force=True)
     mgr.close()
+    close = getattr(data_it, "close", None)
+    if close is not None:  # release the loader's producer thread promptly
+        close()
     return gstate, dstate, step
 
 

@@ -142,12 +142,91 @@ def main() -> None:
     except Exception as e:  # secondary must never sink the headline line
         log(f"[bench] streaming secondary failed: {e}")
 
+    # --- extended panel (BASELINE configs 1, 3, 5) — manual runs only ---
+    if os.environ.get("ADVOC_BENCH_FULL"):
+        try:
+            extended_panel(log)
+        except Exception as e:
+            log(f"[bench] extended panel failed: {e}")
+
     print(json.dumps({
         "metric": "vocoding_realtime_factor",
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 100.0, 3),
     }), flush=True)
+
+
+def extended_panel(log) -> None:
+    """BASELINE configs 1 (heuristic), 3 (GAN training), 5 (WaveGAN gen)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.models.advoc import AdvocConfig, AdvocGenerator, PatchDiscriminator
+    from advoc_tpu.models.wavegan import WaveGANConfig, WaveGANGenerator
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+    from advoc_tpu.train import gan
+
+    def timed(fn, *args, trials=3):
+        fn(*args)  # compile
+        float(jnp.mean(jax.tree.leaves(fn(*args))[0]))
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(jnp.mean(jax.tree.leaves(out)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Config 1: heuristic inversion (mel -> pinv -> fast-GL), no generator.
+    B, T = 32, 256
+    wav = loader.synthetic_speech(0, B * T * P.hop_length)
+    mel = spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+    mel = mel[: B * T].reshape(B, T, P.n_mels)
+    heur = jax.jit(
+        lambda m: spectral.r9y9_melspec_to_waveform(m, n_iters=30, params=P)
+    )
+    dt = timed(heur, mel)
+    audio_s = B * T * P.hop_length / P.sample_rate
+    log(f"[bench:cfg1] heuristic inversion: {dt*1000:.1f} ms for "
+        f"{audio_s:.0f}s → {audio_s/dt:.0f}× RT")
+
+    # Config 3: advoc GAN training step (full size), samples/s/chip.
+    cfg = AdvocConfig()
+    g, d = AdvocGenerator(cfg), PatchDiscriminator(cfg)
+    est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+    gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0), seed=0)
+    step = jax.jit(gan.make_advoc_train_step(g, d, cfg, P))
+    bt = 16
+    batch = jnp.asarray(
+        loader.synthetic_speech(1, bt * cfg.n_frames * P.hop_length)
+    ).reshape(bt, -1)
+    rng = jax.random.PRNGKey(0)
+
+    def train_once(gs, ds, b, r):
+        return step(gs, ds, b, r)
+
+    dt = timed(train_once, gstate, dstate, batch, rng)
+    log(f"[bench:cfg3] advoc GAN train step: {dt*1000:.1f} ms "
+        f"({bt/dt:.1f} clips/s, {bt*cfg.n_frames*P.hop_length/dt/1e6:.1f}M "
+        f"audio-samples/s/chip)")
+
+    # Config 5: WaveGAN generation throughput.
+    wcfg = WaveGANConfig()
+    wg = WaveGANGenerator(wcfg)
+    wparams = wg.init(jax.random.PRNGKey(0), jnp.zeros((1, wcfg.latent_dim)))[
+        "params"
+    ]
+    z = jax.random.normal(jax.random.PRNGKey(1), (64, wcfg.latent_dim))
+    gen = jax.jit(lambda p, z: wg.apply({"params": p}, z))
+    dt = timed(gen, wparams, z)
+    audio_s = 64 * wcfg.slice_len / wcfg.sample_rate
+    log(f"[bench:cfg5] wavegan generate: {dt*1000:.1f} ms for {audio_s:.0f}s "
+        f"@16kHz → {audio_s/dt:.0f}× RT")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,49 @@
+"""Eval metric sanity + profiling utility tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from advoc_tpu.data import loader
+from advoc_tpu.train import eval_metrics as em
+from advoc_tpu.utils.profiling import StepProfiler, timed_call
+
+
+class TestEvalMetrics:
+    def test_identity_is_perfect(self):
+        wav = jnp.asarray(loader.synthetic_speech(0, 16384))
+        m = em.vocoder_eval(wav, wav)
+        assert float(m["spec_l1"]) == 0.0
+        assert float(m["lsd_db"]) == 0.0
+        assert float(m["mel_l1"]) == 0.0
+        assert float(m["snr_db"]) > 100.0
+
+    def test_noise_degrades_monotonically(self):
+        wav = jnp.asarray(loader.synthetic_speech(1, 16384))
+        rng = np.random.default_rng(0)
+        noise = jnp.asarray(rng.standard_normal(16384).astype(np.float32))
+        small = em.vocoder_eval(wav, wav + 0.01 * noise)
+        big = em.vocoder_eval(wav, wav + 0.1 * noise)
+        assert float(small["snr_db"]) > float(big["snr_db"])
+        assert float(small["lsd_db"]) < float(big["lsd_db"])
+        assert float(small["mel_l1"]) < float(big["mel_l1"])
+
+    def test_lsd_known_value(self):
+        a = jnp.full((4, 8), 1.0)
+        b = jnp.full((4, 8), 10.0)  # exactly 20 dB apart
+        assert abs(float(em.log_spectral_distance(a, b)) - 20.0) < 1e-4
+
+
+class TestProfiling:
+    def test_timed_call(self):
+        fn = lambda x: x * 2  # noqa: E731
+        dt, out = timed_call(fn, jnp.ones(8), trials=2, warmup=1)
+        assert dt > 0 and out.shape == (8,)
+
+    def test_step_profiler(self):
+        p = StepProfiler(window=10)
+        for _ in range(5):
+            p.tick()
+        s = p.summary()
+        assert s["steps_per_sec"] > 0
+        assert s["step_time_max_s"] >= s["step_time_p50_s"]
