@@ -219,8 +219,19 @@ def magspec_to_r9y9_melspec(mag: Array, params: AudioParams = DEFAULT_PARAMS) ->
     return normalize_db(amp_to_db(mel, params) - params.ref_level_db, params)
 
 
-def waveform_to_r9y9_melspec(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
-    """(..., L) waveform → (..., T, n_mels) r9y9 normalized mel (SURVEY §2.1 #2)."""
+def waveform_to_r9y9_melspec(
+    x: Array, params: AudioParams = DEFAULT_PARAMS, impl: str = "xla"
+) -> Array:
+    """(..., L) waveform → (..., T, n_mels) r9y9 normalized mel (SURVEY §2.1 #2).
+
+    impl="xla" (default): T = 1 + L//hop (librosa convention).
+    impl="pallas": the fused single-kernel featurizer (HBM audio read once);
+    T = L//hop (no trailing mostly-pad frame) and ~5% faster on v5e.
+    """
+    if impl == "pallas":
+        from advoc_tpu.ops.pallas.featurizer import fused_melspec
+
+        return fused_melspec(x, params)
     return magspec_to_r9y9_melspec(waveform_to_magspec(x, params), params)
 
 
