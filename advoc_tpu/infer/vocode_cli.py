@@ -1,0 +1,127 @@
+"""Standalone serving CLI: mels in → wavs out, with throughput report.
+
+The production-serving face of the fused vocoder:
+
+  python -m advoc_tpu.infer.vocode_cli --bundle runs/advoc/export \
+      --input mels.npy --out_dir out/
+
+Input: a .npy of (T, 80) or (B, T, 80) r9y9-normalized mels (a TTS
+frontend's output), or a wav/directory of wavs to re-vocode. Loads either an
+inference bundle (checkpoint.export_inference_bundle) or a train_dir's latest
+checkpoint; with neither, runs the pure heuristic pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help=".npy mels, a wav file, or a directory of wavs")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--bundle", default=None, help="inference bundle dir")
+    p.add_argument("--train_dir", default=None, help="ckpt dir (alternative)")
+    p.add_argument("--model_size", choices=["full", "small"], default="full")
+    p.add_argument("--model_overrides", default=None)
+    p.add_argument("--gl_iters", type=int, default=30)
+    p.add_argument("--batch", type=int, default=8,
+                   help="mels vocoded per device call")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from advoc_tpu.data import audioio
+    from advoc_tpu.infer import Vocoder
+    from advoc_tpu.models.advoc import AdvocGenerator
+    from advoc_tpu.models.advoc.model import AdvocConfig, small_config
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+    from advoc_tpu.utils import apply_overrides
+
+    cfg = small_config() if args.model_size == "small" else AdvocConfig()
+    cfg = apply_overrides(cfg, args.model_overrides)
+
+    g_apply = g_params = None
+    if args.bundle:
+        from advoc_tpu.train.checkpoint import load_inference_bundle
+
+        g = AdvocGenerator(cfg)
+        g_params, conf = load_inference_bundle(args.bundle)
+        g_apply = lambda p, est: g.apply({"params": p}, est)  # noqa: E731
+        print(f"[vocode] loaded bundle {args.bundle} (config {conf})", flush=True)
+    elif args.train_dir:
+        import jax
+
+        from advoc_tpu.train import gan
+        from advoc_tpu.train.checkpoint import CheckpointManager
+
+        g = AdvocGenerator(cfg)
+        from advoc_tpu.models.advoc import PatchDiscriminator
+
+        est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+        gstate, dstate = gan.make_states(
+            g, PatchDiscriminator(cfg), (est0,), (est0, est0)
+        )
+        mgr = CheckpointManager(args.train_dir)
+        bundle = mgr.restore(template={"g": gstate, "d": dstate})
+        mgr.close()
+        g_params = bundle["g"].params
+        g_apply = lambda p, est: g.apply({"params": p}, est)  # noqa: E731
+        print(f"[vocode] loaded checkpoint from {args.train_dir}", flush=True)
+    else:
+        print("[vocode] no model given — heuristic pipeline", flush=True)
+
+    # --- gather mels ---
+    inp = pathlib.Path(args.input)
+    if inp.suffix == ".npy":
+        mels = np.load(inp)
+        if mels.ndim == 2:
+            mels = mels[None]
+        names = [f"{inp.stem}_{i}" for i in range(len(mels))]
+        mels = [np.asarray(m) for m in mels]
+    else:
+        wav_paths = (
+            sorted(inp.rglob("*.wav")) if inp.is_dir() else [inp]
+        )
+        mels, names = [], []
+        for wp in wav_paths:
+            wav = audioio.decode_audio(wp, P.sample_rate)
+            mels.append(
+                np.asarray(
+                    spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+                )
+            )
+            names.append(wp.stem)
+
+    out_dir = pathlib.Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    voc = Vocoder(
+        g_apply=g_apply, g_params=g_params, params=P,
+        chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
+    )
+
+    total_audio = 0.0
+    t_start = None
+    for i, (mel, name) in enumerate(zip(mels, names)):
+        wav = np.asarray(voc(jnp.asarray(mel)))
+        if t_start is None:
+            t_start = time.perf_counter()  # exclude first-call compile
+            t_audio0 = len(wav) / P.sample_rate
+        total_audio += len(wav) / P.sample_rate
+        audioio.save_as_wav(wav, out_dir / f"{name}.wav", P.sample_rate)
+        print(f"[vocode] {name}.wav ({len(wav)} samples)", flush=True)
+    if t_start is not None and len(mels) > 1:
+        dt = time.perf_counter() - t_start
+        done = total_audio - t_audio0
+        print(f"[vocode] {done:.1f}s audio in {dt:.2f}s after warmup "
+              f"→ {done/dt:.0f}× realtime", flush=True)
+
+
+if __name__ == "__main__":
+    main()

