@@ -24,3 +24,17 @@ Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
 __version__ = "0.1.0"
 
 from advoc_tpu.ops import spectral  # noqa: F401
+from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy heavyweight exports so `import advoc_tpu` stays light.
+    if name == "Vocoder":
+        from advoc_tpu.infer import Vocoder
+
+        return Vocoder
+    if name == "StreamingVocoder":
+        from advoc_tpu.infer import StreamingVocoder
+
+        return StreamingVocoder
+    raise AttributeError(name)

@@ -56,8 +56,6 @@ def main(argv=None) -> None:
         g_apply = lambda p, est: g.apply({"params": p}, est)  # noqa: E731
         print(f"[vocode] loaded bundle {args.bundle} (config {conf})", flush=True)
     elif args.train_dir:
-        import jax
-
         from advoc_tpu.train import gan
         from advoc_tpu.train.checkpoint import CheckpointManager
 

@@ -20,8 +20,6 @@ waveform-domain crossfade, per-chunk latency = one fixed-shape jit call.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,12 +67,16 @@ class Vocoder:
         gl_iters: int = 30,
         phase_method: str = "lws",
         gl_precision=None,
+        mesh=None,
     ):
         self.g_apply = g_apply
         self.g_params = g_params
         self.params = params
         self.chunk = chunk_frames
         self.overlap = overlap_frames
+        # Optional ('data',) mesh: batches are sharded across chips and the
+        # generator params replicated — data-parallel serving over ICI.
+        self.mesh = mesh
         self.gl_iters = gl_iters
         self.momentum = 0.99 if phase_method == "lws" else 0.0
         # bf16 MXU passes in the G-L loop: ~1.75× faster, re-extracted mel L1
@@ -158,7 +160,18 @@ class Vocoder:
         if tb != t:
             # Pad with silence-level mel (0.0 == min dB after normalize).
             mel = jnp.pad(mel, ((0, 0), (0, tb - t), (0, 0)))
-        wav = self._compiled(tb)(self.g_params, mel)
+        if self.mesh is not None:
+            from advoc_tpu.parallel import mesh as mesh_lib
+
+            n_dev = self.mesh.shape["data"]
+            b = mel.shape[0]
+            if b % n_dev:  # pad batch to a shardable multiple, crop after
+                mel = jnp.pad(mel, ((0, n_dev - b % n_dev), (0, 0), (0, 0)))
+            mel = mesh_lib.shard_batch(mel, self.mesh)
+            g_params = mesh_lib.replicate(self.g_params, self.mesh)
+            wav = self._compiled(tb)(g_params, mel)[:b]
+        else:
+            wav = self._compiled(tb)(self.g_params, mel)
         wav = wav[:, : t * self.params.hop_length]
         return wav[0] if squeeze else wav
 

@@ -43,7 +43,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from advoc_tpu.ops import reference as ref
 from advoc_tpu.ops import spectral
 from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
 

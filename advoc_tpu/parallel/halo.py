@@ -17,12 +17,10 @@ dropped — documented, tested).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from advoc_tpu.ops import spectral
 from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS

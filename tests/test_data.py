@@ -1,6 +1,5 @@
 """Data-pipeline tests: native WAV codec, audio I/O, slice loader."""
 
-import os
 import wave
 
 import numpy as np

@@ -3,9 +3,7 @@
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
-import optax
 
 from advoc_tpu.train import gan, harness
 from advoc_tpu.train.checkpoint import CheckpointManager

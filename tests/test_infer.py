@@ -152,3 +152,32 @@ class TestMetrics:
         m = {"a": jnp.float32(1.5), "b": jnp.float32(-2.0)}
         h = to_host(m)
         assert h == {"a": 1.5, "b": -2.0}
+
+
+class TestShardedVocoder:
+    def test_mesh_sharded_matches_single(self, mel, tiny_g):
+        import jax
+
+        from advoc_tpu.parallel import data_mesh
+
+        cfg, apply, params = tiny_g
+        mesh = data_mesh(8)
+        kw = dict(g_apply=apply, g_params=params, chunk_frames=64, gl_iters=2)
+        voc1 = Vocoder(**kw)
+        voc8 = Vocoder(**kw, mesh=mesh)
+        mels = jnp.stack([mel[:64]] * 8)
+        w1 = voc1(mels)
+        w8 = voc8(mels)
+        assert len(w8.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w8), atol=1e-5)
+
+    def test_batch_not_divisible_by_mesh(self, mel, tiny_g):
+        from advoc_tpu.parallel import data_mesh
+
+        cfg, apply, params = tiny_g
+        voc = Vocoder(g_apply=apply, g_params=params, chunk_frames=64,
+                      gl_iters=2, mesh=data_mesh(8))
+        mels = jnp.stack([mel[:64]] * 3)  # 3 % 8 != 0 → padded internally
+        w = voc(mels)
+        assert w.shape == (3, 64 * P.hop_length)
+        assert bool(jnp.isfinite(w).all())

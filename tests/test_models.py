@@ -1,7 +1,6 @@
 """Model forward-pass shape/range tests (SURVEY.md §4 item c)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,9 +1,7 @@
 """Pallas featurizer kernel vs the float64 oracle (interpret mode on CPU)."""
 
 import numpy as np
-import pytest
 
-import jax
 import jax.numpy as jnp
 
 from advoc_tpu.data import loader

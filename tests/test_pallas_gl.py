@@ -2,7 +2,6 @@
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from advoc_tpu.data import loader

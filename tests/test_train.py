@@ -5,11 +5,9 @@ forced-host-device-count CPU.)
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from advoc_tpu.data import loader
 from advoc_tpu.models.advoc import AdvocConfig, AdvocGenerator, PatchDiscriminator
