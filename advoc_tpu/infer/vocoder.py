@@ -200,12 +200,17 @@ class StreamingVocoder:
         self.g_params = g_params
         self.gl_iters = gl_iters
         self._state_wav: np.ndarray | None = None  # pending overlap tail
+        self._state_phase: tuple | None = None  # last frame's unit phase
         p = params
 
         ov_samps = overlap_frames * p.hop_length
         fade = jnp.asarray(np.linspace(0.0, 1.0, ov_samps, dtype=np.float32))
+        frame_idx = jnp.asarray(
+            (np.arange(chunk_frames) + 1.0)[:, None], jnp.float32
+        )
 
-        def run(g_params, mel: Array, prev_tail: Array) -> tuple[Array, Array]:
+        def run(g_params, mel: Array, prev_tail: Array,
+                pc: Array, ps: Array, pc1: Array, ps1: Array):
             est = spectral.r9y9_melspec_to_magspec(mel, p)
             est_norm = spectral.normalize_db(
                 spectral.amp_to_db(est, p) - p.ref_level_db, p
@@ -218,21 +223,36 @@ class StreamingVocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
-            wav = spectral.griffin_lim(
+            # Continue the previous chunk's phase: per-bin instantaneous
+            # frequency measured from its last two frames (RTISI-style),
+            # extrapolated linearly; G-L then refines from a cross-chunk-
+            # coherent start instead of zero phase.
+            d_cos = pc * pc1 + ps * ps1  # e^{j(φ_T - φ_{T-1})}
+            d_sin = ps * pc1 - pc * ps1
+            delta = jnp.arctan2(d_sin, d_cos)  # (F,)
+            base = jnp.arctan2(ps, pc)  # φ_T
+            ang = base[None, :] + frame_idx * delta[None, :]  # (T, F)
+            # f32-faithful loop: at streaming iteration counts the bf16 loop
+            # both hurts fidelity and makes the carried phase too noisy to
+            # help (measured: carry improves mel L1 25% at f32, hurts at bf16).
+            wav, (fc, fs) = spectral.griffin_lim(
                 mag, chunk_frames * p.hop_length, n_iters=gl_iters,
                 momentum=0.99, params=p,
-                precision=__import__("jax").lax.Precision.DEFAULT,
-            )[0]
+                init_phase=(jnp.cos(ang)[None], jnp.sin(ang)[None]),
+                return_final_phase=True,
+            )
+            wav = wav[0]
             head = wav[:ov_samps] * fade + prev_tail * (1.0 - fade)
             emit = jnp.concatenate([head, wav[ov_samps:-ov_samps]])
             tail = wav[-ov_samps:]
-            return emit, tail
+            return emit, tail, fc[0, -1, :], fs[0, -1, :], fc[0, -2, :], fs[0, -2, :]
 
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
 
     def reset(self):
         self._state_wav = None
+        self._state_phase = None
 
     def push(self, mel_chunk) -> np.ndarray:
         """Vocode one (chunk_frames, n_mels) window; returns the emitted
@@ -244,6 +264,16 @@ class StreamingVocoder:
             prev_tail = jnp.zeros(self._ov_samps, jnp.float32)
         else:
             prev_tail = jnp.asarray(self._state_wav)
-        emit, tail = self._run(self.g_params, mel_chunk, prev_tail)
+        if self._state_phase is None:
+            f = self.params.n_freq
+            pc = jnp.ones(f, jnp.float32)
+            ps = jnp.zeros(f, jnp.float32)
+            pc1, ps1 = pc, ps
+        else:
+            pc, ps, pc1, ps1 = map(jnp.asarray, self._state_phase)
+        emit, tail, fc, fs, fc1, fs1 = self._run(
+            self.g_params, mel_chunk, prev_tail, pc, ps, pc1, ps1
+        )
         self._state_wav = np.asarray(tail)
+        self._state_phase = tuple(np.asarray(a) for a in (fc, fs, fc1, fs1))
         return np.asarray(emit)

@@ -256,8 +256,16 @@ def griffin_lim(
     params: AudioParams = DEFAULT_PARAMS,
     fft_impl: str = "matmul",
     precision=None,
+    init_phase: tuple[Array, Array] | None = None,
+    return_final_phase: bool = False,
 ) -> Array:
     """Griffin-Lim phase recovery. (..., T, n_freq) → (..., length) waveform.
+
+    init_phase: optional (cos φ, sin φ) unit-phase arrays broadcastable to
+    the magnitude shape — e.g. a linear phase advance continued from a
+    previous streaming chunk. return_final_phase additionally returns the
+    converged unit phase (cos, sin) so streaming callers can carry it.
+    (matmul impl only.)
 
     momentum=0 → classic G-L; momentum≈0.99 → fast G-L (Perraudin 2013),
     which is the shipped LWS-quality path. Runs as a single ``lax.scan`` so an
@@ -277,6 +285,9 @@ def griffin_lim(
         length = mag.shape[-2] * params.hop_length
     mag = mag.astype(jnp.float32)
     n_frames = mag.shape[-2]
+
+    if (init_phase is not None or return_final_phase) and fft_impl != "matmul":
+        raise ValueError("init_phase/return_final_phase need fft_impl='matmul'")
 
     if fft_impl == "fft":
         spec0 = mag.astype(jnp.complex64)  # zero phase
@@ -353,10 +364,23 @@ def griffin_lim(
         scale = magb / norm
         return (ure * scale, uim * scale, nre, nim), None
 
-    init = (magb, jnp.zeros_like(magb), magb, jnp.zeros_like(magb))
+    if init_phase is not None:
+        cos0, sin0 = init_phase
+        re0 = magb * jnp.broadcast_to(cos0, mag.shape).reshape(magb.shape)
+        im0 = magb * jnp.broadcast_to(sin0, mag.shape).reshape(magb.shape)
+    else:
+        re0, im0 = magb, jnp.zeros_like(magb)
+    init = (re0, im0, re0, im0)
     (re, im, _, _), _ = jax.lax.scan(body, init, None, length=n_iters)
-    y = synth(re, im, prec=_HIGHEST)
-    return y.reshape(lead + (length,))
+    y = synth(re, im, prec=_HIGHEST).reshape(lead + (length,))
+    if return_final_phase:
+        inv_mag = 1.0 / jnp.maximum(jnp.sqrt(re * re + im * im), 1e-16)
+        shape = lead + mag.shape[-2:]
+        return y, (
+            (re * inv_mag).reshape(shape),
+            (im * inv_mag).reshape(shape),
+        )
+    return y
 
 
 def magspec_to_waveform_griffin_lim(
