@@ -1,0 +1,93 @@
+"""In-process CLI tests: argument surface + infer paths on tiny models."""
+
+import numpy as np
+import pytest
+
+TINY = "width=8,depth=4,n_frames=64,disc_width=8,dtype=float32"
+
+
+class TestAdvocCLI:
+    def test_infer_no_checkpoint_writes_wav(self, tmp_path):
+        from advoc_tpu.models.advoc import train_evaluate as te
+
+        te.main([
+            "--mode", "infer", "--train_dir", str(tmp_path),
+            "--model_overrides", TINY, "--gl_iters", "1",
+            "--infer_dir", str(tmp_path / "out"),
+        ])
+        wavs = list((tmp_path / "out").glob("*.wav"))
+        assert len(wavs) == 1
+
+    def test_infer_from_npy_mels(self, tmp_path):
+        from advoc_tpu.models.advoc import train_evaluate as te
+
+        mels = np.random.default_rng(0).uniform(0, 1, (2, 64, 80)).astype(
+            np.float32
+        )
+        np.save(tmp_path / "mels.npy", mels)
+        te.main([
+            "--mode", "infer", "--train_dir", str(tmp_path),
+            "--model_overrides", TINY, "--gl_iters", "1",
+            "--infer_input", str(tmp_path / "mels.npy"),
+            "--infer_dir", str(tmp_path / "out"),
+        ])
+        assert len(list((tmp_path / "out").glob("*.wav"))) == 2
+
+    def test_bad_override_rejected(self, tmp_path):
+        from advoc_tpu.models.advoc import train_evaluate as te
+
+        with pytest.raises(ValueError, match="unknown config field"):
+            te.main([
+                "--mode", "infer", "--train_dir", str(tmp_path),
+                "--model_overrides", "wdith=8",
+            ])
+
+    def test_bad_mode_rejected(self):
+        from advoc_tpu.models.advoc import train_evaluate as te
+
+        with pytest.raises(SystemExit):
+            te.main(["--mode", "frobnicate", "--train_dir", "/tmp/x"])
+
+
+class TestWaveGANCLI:
+    def test_infer_writes_wavs(self, tmp_path):
+        from advoc_tpu.models.wavegan import train_evaluate as te
+
+        te.main([
+            "--mode", "infer", "--train_dir", str(tmp_path),
+            "--model_overrides",
+            "slice_len=1024,latent_dim=8,width=8,dtype=float32",
+            "--n_samples", "2", "--infer_dir", str(tmp_path / "out"),
+        ])
+        assert len(list((tmp_path / "out").glob("*.wav"))) == 2
+
+
+class TestMelSpecGANCLI:
+    def test_infer_writes_mels_and_vocodes(self, tmp_path):
+        from advoc_tpu.models.melspecgan import train_evaluate as te
+
+        te.main([
+            "--mode", "infer", "--train_dir", str(tmp_path),
+            "--model_overrides", "latent_dim=8,width=8,dtype=float32",
+            "--n_samples", "2", "--vocode",
+            "--infer_dir", str(tmp_path / "out"),
+        ])
+        out = tmp_path / "out"
+        assert (out / "mels.npy").exists()
+        assert len(list(out.glob("*.wav"))) == 2
+
+
+class TestVocodeCLI:
+    def test_npy_to_wavs(self, tmp_path):
+        from advoc_tpu.infer import vocode_cli
+
+        mels = np.random.default_rng(1).uniform(0, 1, (64, 80)).astype(
+            np.float32
+        )
+        np.save(tmp_path / "m.npy", mels)
+        vocode_cli.main([
+            "--input", str(tmp_path / "m.npy"),
+            "--out_dir", str(tmp_path / "out"),
+            "--model_overrides", TINY, "--gl_iters", "1",
+        ])
+        assert len(list((tmp_path / "out").glob("*.wav"))) == 1
