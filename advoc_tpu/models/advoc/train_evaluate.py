@@ -28,7 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", choices=["train", "eval", "infer"], required=True)
     p.add_argument("--train_dir", required=True)
-    p.add_argument("--data_dir", default=None, help="directory of wavs")
+    p.add_argument("--data_dir", default=None,
+                   help="directory of wavs, or a .txt file list "
+                        "from scripts/prepare_dataset.py")
     p.add_argument("--model_size", choices=["full", "small"], default="full")
     p.add_argument("--model_overrides", default=None,
                    help="comma-separated key=value config overrides")
@@ -139,6 +141,21 @@ def evaluate(args) -> None:
         out = voc(mel)
         return [("vocoded", np.asarray(out), DEFAULT_PARAMS.sample_rate)]
 
+    def image_fn(gparams):
+        # Spectrogram triptych: heuristic estimate / repaired / real — the
+        # reference's image-summary eval UX (SURVEY.md §5).
+        import jax.numpy as jnp
+
+        wav = loader.synthetic_speech(123, slice_len)
+        mel, est, real = gan.featurize_advoc(
+            jnp.asarray(wav)[None], cfg.n_frames, DEFAULT_PARAMS
+        )
+        fake = g.apply({"params": gparams}, est)
+        img = np.concatenate(
+            [np.asarray(x[0]).T[::-1] for x in (est, fake, real)], axis=0
+        )  # stacked (3·F, T) images, low freqs at the bottom of each band
+        return [("est_repaired_real", img)]
+
     harness.eval_loop(
         eval_step,
         lambda: (gstate, dstate),
@@ -146,6 +163,7 @@ def evaluate(args) -> None:
         args.train_dir,
         once=args.eval_once,
         audio_fn=audio_fn,
+        image_fn=image_fn,
     )
 
 

@@ -16,7 +16,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", choices=["train", "infer"], required=True)
     p.add_argument("--train_dir", required=True)
-    p.add_argument("--data_dir", default=None)
+    p.add_argument("--data_dir", default=None,
+                   help="directory of wavs or a .txt file list")
     p.add_argument("--model_overrides", default=None)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_steps", type=int, default=100000)

@@ -108,12 +108,15 @@ def eval_loop(
     once: bool = False,
     timeout_s: float = 3600.0,
     audio_fn: Callable | None = None,
+    image_fn: Callable | None = None,
 ):
     """Poll train_dir for new checkpoints; evaluate each (SURVEY.md §3.2).
 
     eval_fn(gparams, batch) → metric dict; metrics are averaged over the eval
     pass and written to train_dir/tb_eval. audio_fn(gparams) optionally
-    returns (tag, waveform, sample_rate) tuples to dump as audio summaries.
+    returns (tag, waveform, sample_rate) tuples to dump as audio summaries;
+    image_fn(gparams) returns (tag, HxW image in [0,1]) tuples (the
+    reference's spectrogram image summaries, SURVEY.md §5).
     """
     mgr = CheckpointManager(train_dir)
     writer = metrics_lib.SummaryWriter(f"{train_dir}/tb_eval")
@@ -140,6 +143,9 @@ def eval_loop(
         if audio_fn is not None:
             for tag, wav, sr in audio_fn(gparams):
                 writer.audio(step, tag, np.asarray(wav), sr)
+        if image_fn is not None:
+            for tag, img in image_fn(gparams):
+                writer.image(step, tag, np.asarray(img))
         if once:
             break
     mgr.close()

@@ -48,12 +48,17 @@ def apply_overrides(cfg: T, overrides: str | None) -> T:
 
 
 def find_wavs(data_dir: str | None, min_count: int = 1) -> list[str]:
-    """List .wav files under data_dir (recursively), sorted."""
+    """List .wav files under data_dir (recursively), sorted.
+
+    ``data_dir`` may also be a ``*.txt`` file list (one path per line — the
+    output of scripts/prepare_dataset.py)."""
     if data_dir is None:
         return []
     root = pathlib.Path(data_dir)
     if not root.exists():
         return []
+    if root.is_file() and root.suffix == ".txt":
+        return [ln.strip() for ln in root.read_text().splitlines() if ln.strip()]
     fps = sorted(str(p) for p in root.rglob("*.wav"))
     return fps if len(fps) >= min_count else fps
 
