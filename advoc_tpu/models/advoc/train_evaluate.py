@@ -95,6 +95,12 @@ def train(args) -> None:
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed
     )
+    # Host decode + H2D transfer overlap device compute (double-buffered).
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    it = loader.device_prefetch(
+        it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
+    )
     harness.train_loop(
         dp_step, gstate, dstate, it, args.train_dir,
         max_steps=args.max_steps, ckpt_every=args.ckpt_every,

@@ -86,6 +86,11 @@ def train(args) -> None:
     stacked = (
         b.reshape(cfg.n_critic, args.batch_size, slice_len) for b in it
     )
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    stacked = loader.device_prefetch(
+        stacked, sharding=NamedSharding(mesh, Pspec(None, "data")), depth=2
+    )
     harness.train_loop(
         dp_step, gstate, dstate, stacked, args.train_dir,
         max_steps=args.max_steps, ckpt_every=args.ckpt_every,

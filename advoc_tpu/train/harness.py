@@ -51,10 +51,10 @@ def train_loop(
         print(f"[train] resumed from step {start} in {train_dir}", flush=True)
 
     writer = metrics_lib.SummaryWriter(f"{train_dir}/tb")
-    timer = metrics_lib.StepTimer(warmup=1)
     rng = jax.random.PRNGKey(seed)
 
     step = start
+    steps_at_last = start
     t_last = time.perf_counter()
     for batch in data_it:
         if step >= max_steps:
@@ -62,7 +62,6 @@ def train_loop(
         rng, srng = jax.random.split(rng)
         gstate, dstate, m = step_fn(gstate, dstate, batch, srng)
         step += 1
-        sps = timer.tick()
 
         if nan_check_every and step % nan_check_every == 0:
             host = metrics_lib.to_host(m)
@@ -76,12 +75,15 @@ def train_loop(
                 )
 
         if step % log_every == 0:
-            host = metrics_lib.to_host(m)
+            host = metrics_lib.to_host(m)  # syncs: dt below is honest
             dt = time.perf_counter() - t_last
+            rate = (step - steps_at_last) / max(dt, 1e-9)
             t_last = time.perf_counter()
-            rate = f"{sps:.2f} steps/s" if sps else f"{dt:.1f}s"
+            steps_at_last = step
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items()))
-            print(f"[train] step {step} ({rate}) {msg}", flush=True)
+            # First window includes compile time; later windows are steady
+            # state (the metric fetch above forces completion each window).
+            print(f"[train] step {step} ({rate:.2f} steps/s) {msg}", flush=True)
         if step % summary_every == 0:
             writer.scalars(step, metrics_lib.to_host(m))
         if step % ckpt_every == 0:
