@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (traps the first NaN at its "
+                        "producing op; slow — debugging only)")
     return p
 
 
@@ -73,6 +76,14 @@ def _models_and_states(cfg, seed):
 
 def train(args) -> None:
     import jax
+
+    from advoc_tpu.parallel.distributed import initialize as dist_init
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if dist_init():
+        print(f"[train] multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}", flush=True)
 
     from advoc_tpu.data import loader
     from advoc_tpu.ops.reference import DEFAULT_PARAMS
