@@ -53,7 +53,7 @@ def main() -> None:
     est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
     gparams = g.init(rng, est0)["params"]
 
-    B = 32  # 32 chunks × 256 frames × 256 hop / 22050 Hz ≈ 95 s of audio
+    B = 64  # 64 chunks × 256 frames × 256 hop / 22050 Hz ≈ 190 s of audio
     GL_ITERS = 30
 
     def fused_vocode(params, mel):
