@@ -2,6 +2,10 @@
 
 End-to-end waveform GAN (BASELINE config 5): z → waveform, no phase-recovery
 stage. --mode infer samples latents and writes wavs.
+
+--conditional switches to the mel-conditioned variant (neural mel→waveform
+vocoder, still no phase recovery): training extracts mels on-device and
+infer vocodes --infer_input (wav or .npy mels) instead of sampling z.
 """
 
 from __future__ import annotations
@@ -25,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--n_samples", type=int, default=8)
+    p.add_argument("--conditional", action="store_true",
+                   help="mel-conditioned variant (neural mel→waveform)")
+    p.add_argument("--infer_input", default=None,
+                   help="conditional infer: wav to re-vocode or .npy mels")
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
@@ -34,10 +42,35 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_config(args):
-    from advoc_tpu.models.wavegan.model import WaveGANConfig
     from advoc_tpu.utils import apply_overrides
 
+    if getattr(args, "conditional", False):
+        from advoc_tpu.models.wavegan.conditional import CondWaveGANConfig
+
+        return apply_overrides(CondWaveGANConfig(), args.model_overrides)
+    from advoc_tpu.models.wavegan.model import WaveGANConfig
+
     return apply_overrides(WaveGANConfig(), args.model_overrides)
+
+
+def _cond_models_and_states(cfg, seed):
+    import jax.numpy as jnp
+
+    from advoc_tpu.models.wavegan.conditional import (
+        CondWaveGANGenerator,
+        CondWaveGANDiscriminator,
+    )
+    from advoc_tpu.train import gan
+
+    g = CondWaveGANGenerator(cfg)
+    d = CondWaveGANDiscriminator(cfg)
+    m0 = jnp.zeros((1, cfg.n_frames, cfg.n_mels))
+    w0 = jnp.zeros((1, cfg.slice_len))
+    gstate, dstate = gan.make_states(
+        g, d, (m0,), (w0, m0), seed=seed,
+        g_tx=gan.adam(2e-4), d_tx=gan.adam(2e-4),
+    )
+    return g, d, gstate, dstate
 
 
 def _models_and_states(cfg, seed):
@@ -73,16 +106,41 @@ def train(args) -> None:
     from advoc_tpu.train import gan, harness
     from advoc_tpu.utils.config import ensure_dataset
 
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
     cfg = make_config(args)
+    mesh = data_mesh(args.n_devices)
+    fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
+
+    if args.conditional:
+        from advoc_tpu.ops.reference import DEFAULT_PARAMS
+
+        g, d, gstate, dstate = _cond_models_and_states(cfg, args.seed)
+        print(f"[train] conditional wavegan (mel→waveform): "
+              f"{len(jax.devices())} device(s)", flush=True)
+        step = gan.make_cond_wavegan_train_step(g, d, cfg, DEFAULT_PARAMS)
+        dp_step = gan.jit_data_parallel(step, mesh)
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=args.batch_size, slice_len=cfg.slice_len,
+            seed=args.seed,
+        )
+        it = loader.device_prefetch(
+            it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
+        )
+        harness.train_loop(
+            dp_step, gstate, dstate, it, args.train_dir,
+            max_steps=args.max_steps, ckpt_every=args.ckpt_every,
+            log_every=args.log_every, seed=args.seed,
+        )
+        return
+
     g, d, gstate, dstate = _models_and_states(cfg, args.seed)
     print(f"[train] wavegan: {len(jax.devices())} device(s), "
           f"n_critic={cfg.n_critic}", flush=True)
 
     step = gan.make_wavegan_train_step(g, d, cfg)
-    mesh = data_mesh(args.n_devices)
     dp_step = gan.jit_data_parallel(step, mesh, batch_axis=1)
 
-    fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size * cfg.n_critic,
         slice_len=cfg.slice_len, seed=args.seed,
@@ -91,8 +149,6 @@ def train(args) -> None:
     stacked = (
         b.reshape(cfg.n_critic, args.batch_size, cfg.slice_len) for b in it
     )
-    from jax.sharding import NamedSharding, PartitionSpec as Pspec
-
     stacked = loader.device_prefetch(
         stacked, sharding=NamedSharding(mesh, Pspec(None, "data")), depth=2
     )
@@ -111,6 +167,9 @@ def infer(args) -> None:
     from advoc_tpu.train.checkpoint import CheckpointManager
 
     cfg = make_config(args)
+    if args.conditional:
+        _cond_infer(args, cfg)
+        return
     g, d, gstate, dstate = _models_and_states(cfg, args.seed)
     mgr = CheckpointManager(args.train_dir)
     if mgr.latest_step() is not None:
@@ -132,6 +191,55 @@ def infer(args) -> None:
         path = out_dir / f"generated_{i}.wav"
         audioio.save_as_wav(w, path, cfg.sample_rate)
         print(f"[infer] wrote {path}", flush=True)
+
+
+def _cond_infer(args, cfg) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advoc_tpu.data import audioio, loader
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS
+    from advoc_tpu.train.checkpoint import CheckpointManager
+
+    g, d, gstate, dstate = _cond_models_and_states(cfg, args.seed)
+    mgr = CheckpointManager(args.train_dir)
+    if mgr.latest_step() is not None:
+        bundle = mgr.restore(template={"g": gstate, "d": dstate})
+        gparams = bundle["g"].params
+        print(f"[infer] restored step {mgr.latest_step()}", flush=True)
+    else:
+        gparams = gstate.params
+        print("[infer] no checkpoint — random init", flush=True)
+    mgr.close()
+
+    if args.infer_input and args.infer_input.endswith(".npy"):
+        mels = np.load(args.infer_input)
+        if mels.ndim == 2:
+            mels = mels[None]
+    else:
+        if args.infer_input:
+            wav = audioio.decode_audio(args.infer_input, cfg.sample_rate)
+        else:
+            wav = loader.synthetic_speech(0, cfg.sample_rate * 2)
+        mels = np.asarray(
+            spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), DEFAULT_PARAMS)
+        )[None]
+
+    gen = jax.jit(lambda p, m: g.apply({"params": p}, m))
+    out_dir = pathlib.Path(args.infer_dir or f"{args.train_dir}/infer")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, mel in enumerate(mels):
+        t = (mel.shape[0] // cfg.n_frames) * cfg.n_frames
+        t = max(t, cfg.n_frames)
+        m = np.zeros((t, cfg.n_mels), np.float32)
+        m[: min(t, mel.shape[0])] = mel[:t]
+        chunks = jnp.asarray(m).reshape(-1, cfg.n_frames, cfg.n_mels)
+        wavs = np.asarray(gen(gparams, chunks)).reshape(-1)
+        path = out_dir / f"neural_vocoded_{i}.wav"
+        audioio.save_as_wav(wavs, path, cfg.sample_rate)
+        print(f"[infer] wrote {path} ({len(wavs)} samples)", flush=True)
 
 
 def main(argv=None):

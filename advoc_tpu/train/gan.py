@@ -273,6 +273,68 @@ def make_wavegan_train_step(g_model, d_model, cfg):
 
 
 # ---------------------------------------------------------------------------
+# Conditional (mel→waveform) WaveGAN step: adversarial + mel-reconstruction.
+# ---------------------------------------------------------------------------
+
+
+def make_cond_wavegan_train_step(g_model, d_model, cfg, audio_params: AudioParams):
+    """(gstate, dstate, wav (B, T·hop), rng) → updated states.
+
+    Mels are extracted from the real waveforms on-device; G maps mel →
+    waveform; D judges (waveform, mel) pairs; G additionally minimizes the
+    re-extracted-mel L1 of its output (the framework's canonical fidelity
+    metric, computed entirely on-chip).
+    """
+    losses = gan_losses(cfg.gan_type)
+
+    def step(gstate: TrainState, dstate: TrainState, wav: Array, rng: Array):
+        rng_d, rng_ps, rng_ps2 = jax.random.split(rng, 3)
+        mel = spectral.waveform_to_r9y9_melspec(wav, audio_params)
+        mel = mel[:, : cfg.n_frames, :]
+        real = wav[:, : cfg.slice_len]
+
+        fake = jax.lax.stop_gradient(g_model.apply({"params": gstate.params}, mel))
+
+        def d_loss_fn(dparams):
+            rl = d_model.apply({"params": dparams}, real, mel, rng=rng_ps)
+            fl = d_model.apply({"params": dparams}, fake, mel, rng=rng_ps)
+            loss = losses.d_loss(rl, fl)
+            if losses.needs_gp:
+                loss = loss + cfg.gp_weight * gradient_penalty(
+                    lambda p, x: d_model.apply({"params": p}, x, mel, rng=rng_ps),
+                    dparams,
+                    real,
+                    fake,
+                    rng_d,
+                )
+            return loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dstate.params)
+        dstate = dstate.apply_gradients(grads=d_grads)
+
+        def g_loss_fn(gparams):
+            fake2 = g_model.apply({"params": gparams}, mel)
+            fl = d_model.apply({"params": dstate.params}, fake2, mel, rng=rng_ps2)
+            adv = losses.g_loss(fl)
+            mel_fake = spectral.waveform_to_r9y9_melspec(fake2, audio_params)
+            mel_l1 = jnp.mean(jnp.abs(mel_fake[:, : cfg.n_frames, :] - mel))
+            return adv + cfg.mel_l1_weight * mel_l1, (adv, mel_l1)
+
+        (g_loss, (adv, mel_l1)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(gstate.params)
+        gstate = gstate.apply_gradients(grads=g_grads)
+        return gstate, dstate, {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "g_adv": adv,
+            "g_mel_l1": mel_l1,
+        }
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # MelSpecGAN fused step (SURVEY.md §2.1 #13): DCGAN/WGAN on mel images.
 # ---------------------------------------------------------------------------
 

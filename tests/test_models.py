@@ -112,3 +112,34 @@ class TestMelSpecGAN:
         mel = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 80))
         params = d.init(jax.random.PRNGKey(1), mel)["params"]
         assert d.apply({"params": params}, mel).shape == (2,)
+
+
+class TestCondWaveGAN:
+    def test_generator_geometry(self):
+        from advoc_tpu.models.wavegan.conditional import (
+            CondWaveGANConfig,
+            CondWaveGANGenerator,
+        )
+
+        cfg = CondWaveGANConfig(n_frames=16, width=8, dtype="float32")
+        g = CondWaveGANGenerator(cfg)
+        mel = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 80))
+        params = g.init(jax.random.PRNGKey(1), mel)["params"]
+        wav = g.apply({"params": params}, mel)
+        assert wav.shape == (2, 16 * 256)  # T frames x hop samples exactly
+        assert float(jnp.abs(wav).max()) <= 1.0
+
+    def test_discriminator_patch_logits(self):
+        from advoc_tpu.models.wavegan.conditional import (
+            CondWaveGANConfig,
+            CondWaveGANDiscriminator,
+        )
+
+        cfg = CondWaveGANConfig(n_frames=16, width=8, dtype="float32")
+        d = CondWaveGANDiscriminator(cfg)
+        wav = jnp.zeros((2, cfg.slice_len))
+        mel = jnp.zeros((2, 16, 80))
+        params = d.init(jax.random.PRNGKey(0), wav, mel,
+                        rng=jax.random.PRNGKey(1))["params"]
+        logits = d.apply({"params": params}, wav, mel, rng=jax.random.PRNGKey(2))
+        assert logits.ndim == 2 and logits.shape[0] == 2

@@ -199,3 +199,29 @@ class TestMelSpecGANTrainStep:
         )
         gstate, dstate, m = step(gstate, dstate, wav, jax.random.PRNGKey(0))
         assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+
+class TestCondWaveGANTrainStep:
+    def test_smoke_and_mel_l1_decreases(self):
+        from advoc_tpu.models.wavegan.conditional import (
+            CondWaveGANConfig,
+            CondWaveGANGenerator,
+            CondWaveGANDiscriminator,
+        )
+
+        cfg = CondWaveGANConfig(n_frames=16, width=8, dtype="float32")
+        g, d = CondWaveGANGenerator(cfg), CondWaveGANDiscriminator(cfg)
+        m0 = jnp.zeros((1, cfg.n_frames, cfg.n_mels))
+        w0 = jnp.zeros((1, cfg.slice_len))
+        gstate, dstate = gan.make_states(
+            g, d, (m0,), (w0, m0), seed=0,
+            g_tx=gan.adam(1e-3), d_tx=gan.adam(1e-3),
+        )
+        step = jax.jit(gan.make_cond_wavegan_train_step(g, d, cfg, DEFAULT_PARAMS))
+        wav = _wav_batch(2)[:, : cfg.slice_len]
+        l1s = []
+        for i in range(6):
+            gstate, dstate, m = step(gstate, dstate, wav, jax.random.PRNGKey(i))
+            l1s.append(float(m["g_mel_l1"]))
+        assert all(np.isfinite(v) for v in l1s)
+        assert l1s[-1] < l1s[0], l1s
