@@ -10,7 +10,7 @@ recovery scan → waveform) at 22050 Hz. vs_baseline is therefore value/100
 (>1.0 beats the target).
 
 Methodology: random-init full-size generator (throughput is independent of
-weight values), batch of mel chunks covering ~95 s of audio, ONE fused jit,
+weight values), batch of mel chunks covering ~190 s of audio, ONE fused jit,
 warmup call, then timed calls with ``block_until_ready`` and a final single
 array readback (per the axon-tunnel rules in .claude/skills/verify/SKILL.md).
 Secondary configs (BASELINE.md 1–5) are reported on stderr; the driver

@@ -54,3 +54,13 @@ class TestHaloExchange:
         fn = jax.jit(lambda w: sharded_melspec(w, mesh))
         out = fn(wav)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestDistributedInit:
+    def test_single_host_is_noop(self, monkeypatch):
+        from advoc_tpu.parallel.distributed import initialize
+
+        for var in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                    "JAX_NUM_PROCESSES"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize() is False
