@@ -15,7 +15,7 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["train", "infer"], required=True)
+    p.add_argument("--mode", choices=["train", "eval", "infer"], required=True)
     p.add_argument("--train_dir", required=True)
     p.add_argument("--data_dir", default=None,
                    help="directory of wavs or a .txt file list")
@@ -26,6 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--n_samples", type=int, default=8)
+    p.add_argument("--eval_once", action="store_true")
     p.add_argument("--vocode", action="store_true",
                    help="also vocode sampled mels to wavs (heuristic path)")
     p.add_argument("--infer_dir", default=None)
@@ -148,9 +149,56 @@ def infer(args) -> None:
             print(f"[infer] wrote {path}", flush=True)
 
 
+def evaluate(args) -> None:
+    """Poll checkpoints; compare generated-mel statistics against the real
+    mel distribution (mean/std per run) and dump mel image summaries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS
+    from advoc_tpu.train import harness
+    from advoc_tpu.utils.config import ensure_dataset
+
+    cfg = make_config(args)
+    g, d, gstate, dstate = _models_and_states(cfg, args.seed)
+    fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
+    slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
+
+    def data_fn():
+        return loader.decode_extract_and_batch(
+            fps, batch_size=args.batch_size, slice_len=slice_len,
+            repeat=False, shuffle=False, drop_remainder=False,
+        )
+
+    def eval_fn(gparams, wav):
+        wav = jnp.asarray(wav)
+        real = spectral.waveform_to_r9y9_melspec(wav, DEFAULT_PARAMS)
+        real = real[:, : cfg.n_frames, :]
+        z = jax.random.normal(
+            jax.random.PRNGKey(0), (wav.shape[0], cfg.latent_dim))
+        fake = g.apply({"params": gparams}, z)
+        return {
+            "eval_mean_gap": jnp.abs(fake.mean() - real.mean()),
+            "eval_std_gap": jnp.abs(fake.std() - real.std()),
+        }
+
+    def image_fn(gparams):
+        z = jax.random.normal(jax.random.PRNGKey(7), (1, cfg.latent_dim))
+        mel = g.apply({"params": gparams}, z)
+        return [("generated_mel", np.asarray(mel[0]).T[::-1])]
+
+    harness.eval_loop(
+        jax.jit(eval_fn), lambda: (gstate, dstate), data_fn, args.train_dir,
+        once=args.eval_once, image_fn=image_fn,
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    {"train": train, "infer": infer}[args.mode](args)
+    {"train": train, "eval": evaluate, "infer": infer}[args.mode](args)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["train", "infer"], required=True)
+    p.add_argument("--mode", choices=["train", "eval", "infer"], required=True)
     p.add_argument("--train_dir", required=True)
     p.add_argument("--data_dir", default=None,
                    help="directory of wavs or a .txt file list")
@@ -29,6 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--n_samples", type=int, default=8)
+    p.add_argument("--eval_once", action="store_true")
     p.add_argument("--conditional", action="store_true",
                    help="mel-conditioned variant (neural mel→waveform)")
     p.add_argument("--infer_input", default=None,
@@ -242,9 +243,71 @@ def _cond_infer(args, cfg) -> None:
         print(f"[infer] wrote {path} ({len(wavs)} samples)", flush=True)
 
 
+def evaluate(args) -> None:
+    """Poll checkpoints; report D's real/fake logit gap and (conditional)
+    re-extracted-mel L1 over generated audio; dump sample wavs as audio
+    summaries (the reference's eval UX, SURVEY.md §3.2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS
+    from advoc_tpu.train import harness
+    from advoc_tpu.utils.config import ensure_dataset
+
+    cfg = make_config(args)
+    if args.conditional:
+        g, d, gstate, dstate = _cond_models_and_states(cfg, args.seed)
+    else:
+        g, d, gstate, dstate = _models_and_states(cfg, args.seed)
+    fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
+
+    def data_fn():
+        return loader.decode_extract_and_batch(
+            fps, batch_size=args.batch_size, slice_len=cfg.slice_len,
+            repeat=False, shuffle=False, drop_remainder=False,
+        )
+
+    if args.conditional:
+        def eval_fn(gparams, wav):
+            wav = jnp.asarray(wav)
+            mel = spectral.waveform_to_r9y9_melspec(wav, DEFAULT_PARAMS)
+            mel = mel[:, : cfg.n_frames, :]
+            fake = g.apply({"params": gparams}, mel)
+            mel_fake = spectral.waveform_to_r9y9_melspec(fake, DEFAULT_PARAMS)
+            return {"eval_mel_l1": jnp.mean(
+                jnp.abs(mel_fake[:, : cfg.n_frames, :] - mel))}
+
+        def audio_fn(gparams):
+            wav = loader.synthetic_speech(123, cfg.slice_len)
+            mel = spectral.waveform_to_r9y9_melspec(
+                jnp.asarray(wav)[None], DEFAULT_PARAMS)[:, : cfg.n_frames, :]
+            out = g.apply({"params": gparams}, mel)
+            return [("neural_vocoded", np.asarray(out[0]), cfg.sample_rate)]
+    else:
+        def eval_fn(gparams, wav):
+            z = jax.random.normal(
+                jax.random.PRNGKey(0), (wav.shape[0], cfg.latent_dim))
+            fake = g.apply({"params": gparams}, z)
+            return {"eval_gen_rms": jnp.sqrt(jnp.mean(fake**2)),
+                    "eval_gen_peak": jnp.max(jnp.abs(fake))}
+
+        def audio_fn(gparams):
+            z = jax.random.normal(jax.random.PRNGKey(7), (1, cfg.latent_dim))
+            out = g.apply({"params": gparams}, z)
+            return [("generated", np.asarray(out[0]), cfg.sample_rate)]
+
+    harness.eval_loop(
+        jax.jit(eval_fn), lambda: (gstate, dstate), data_fn, args.train_dir,
+        once=args.eval_once, audio_fn=audio_fn,
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    {"train": train, "infer": infer}[args.mode](args)
+    {"train": train, "eval": evaluate, "infer": infer}[args.mode](args)
 
 
 if __name__ == "__main__":
