@@ -56,6 +56,13 @@ def _slice_plan_eval(n_frames: int, slice_len: int, hop: int) -> list[int]:
     return list(range(0, n_frames - slice_len + 1, hop))
 
 
+class _ProducerError:
+    """Queue envelope carrying an exception from the producer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def decode_extract_and_batch(
     fps: Sequence[str],
     batch_size: int,
@@ -67,6 +74,7 @@ def decode_extract_and_batch(
     num_workers: int = 8,
     prefetch: int = 4,
     drop_remainder: bool = True,
+    sample_rate: int | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield (batch_size, slice_len) float32 waveform batches.
 
@@ -74,6 +82,14 @@ def decode_extract_and_batch(
     crops (random file, random offset). Eval mode (``repeat=False,
     shuffle=False``): one pass of sequential non-overlapping windows per file.
     Matches the reference loader's contract (SURVEY.md §3.1), minus tf.data.
+
+    ``sample_rate``: when given, every file's header rate must match it —
+    the featurizer's time base (hop/window in samples) silently changes
+    meaning otherwise. The hot path never resamples; mismatched data must go
+    through scripts/prepare_dataset.py first.
+
+    A decode error in the producer thread is re-raised in the consumer (the
+    stream must die loudly, not end as if the epoch completed).
     """
     fps = list(map(str, fps))
     if not fps:
@@ -81,6 +97,15 @@ def decode_extract_and_batch(
     rng = np.random.default_rng(seed)
 
     meta = [audioio.wav_num_frames(fp) for fp in fps]
+    if sample_rate is not None:
+        bad = [(fp, sr) for fp, (_, sr) in zip(fps, meta) if sr != sample_rate]
+        if bad:
+            fp0, sr0 = bad[0]
+            raise ValueError(
+                f"{len(bad)} file(s) are not at the expected {sample_rate} Hz "
+                f"(e.g. {fp0}: {sr0} Hz); resample them first with "
+                "scripts/prepare_dataset.py"
+            )
 
     def decode_one(args) -> np.ndarray:
         fp, start = args
@@ -134,6 +159,8 @@ def decode_extract_and_batch(
             if batch and not drop_remainder:
                 arrs = list(pool.map(decode_one, batch))
                 put_or_stop(np.stack(arrs))
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            put_or_stop(_ProducerError(exc))
         finally:
             pool.shutdown(wait=False)
             put_or_stop(_SENTINEL)
@@ -147,6 +174,8 @@ def decode_extract_and_batch(
                 item = q.get()
                 if item is _SENTINEL:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()

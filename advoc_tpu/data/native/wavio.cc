@@ -35,7 +35,7 @@ bool read_header(std::FILE* f, WavInfo* info) {
   if (std::fread(&riff_size, 4, 1, f) != 1) return false;
   if (std::fread(id, 1, 4, f) != 4 || std::memcmp(id, "WAVE", 4) != 0) return false;
 
-  bool have_fmt = false;
+  bool have_fmt = false, have_data = false;
   while (std::fread(id, 1, 4, f) == 4) {
     uint32_t chunk_size = 0;
     if (std::fread(&chunk_size, 4, 1, f) != 1) return false;
@@ -62,11 +62,13 @@ bool read_header(std::FILE* f, WavInfo* info) {
     } else if (std::memcmp(id, "data", 4) == 0) {
       info->data_offset = std::ftell(f);
       info->data_bytes = chunk_size;
-      if (have_fmt) return true;
-      std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
+      have_data = true;
+      if (!have_fmt)  // a 'data' chunk may legally precede 'fmt '
+        std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
     } else {
       std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
     }
+    if (have_fmt && have_data) return true;
   }
   return false;
 }
@@ -121,7 +123,8 @@ long advoc_wav_decode_slice(const char* path, long start, long count,
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
-  if (!read_header(f, &info) || (info.format != 1 && info.format != 3)) {
+  if (!read_header(f, &info) || (info.format != 1 && info.format != 3) ||
+      info.channels == 0 || info.bits < 8) {  // bits/channels 0 ⇒ div-by-zero
     std::fclose(f);
     return -2;
   }
@@ -157,7 +160,9 @@ long advoc_wav_decode(const char* path, float* out, long max_frames) {
   return advoc_wav_decode_slice(path, 0, max_frames, out);
 }
 
-// Writes mono float32 samples as 16-bit PCM WAV. Returns 0 on success.
+// Writes mono float32 samples as 16-bit PCM WAV. Returns 0 on success, <0 on
+// any short write or close failure (disk full must not look like success —
+// the Python caller falls back / raises on nonzero).
 int advoc_wav_write(const char* path, const float* samples, long n,
                     int sample_rate) {
   std::FILE* f = std::fopen(path, "wb");
@@ -167,13 +172,14 @@ int advoc_wav_write(const char* path, const float* samples, long n,
   uint16_t fmt = 1, ch = 1, bits = 16, block = 2;
   uint32_t sr = (uint32_t)sample_rate, byte_rate = sr * 2;
   uint32_t fmt_size = 16;
-  std::fwrite("RIFF", 1, 4, f); std::fwrite(&riff_size, 4, 1, f);
-  std::fwrite("WAVE", 1, 4, f);
-  std::fwrite("fmt ", 1, 4, f); std::fwrite(&fmt_size, 4, 1, f);
-  std::fwrite(&fmt, 2, 1, f); std::fwrite(&ch, 2, 1, f);
-  std::fwrite(&sr, 4, 1, f); std::fwrite(&byte_rate, 4, 1, f);
-  std::fwrite(&block, 2, 1, f); std::fwrite(&bits, 2, 1, f);
-  std::fwrite("data", 1, 4, f); std::fwrite(&data_bytes, 4, 1, f);
+  bool ok = true;
+  ok &= std::fwrite("RIFF", 1, 4, f) == 4; ok &= std::fwrite(&riff_size, 4, 1, f) == 1;
+  ok &= std::fwrite("WAVE", 1, 4, f) == 4;
+  ok &= std::fwrite("fmt ", 1, 4, f) == 4; ok &= std::fwrite(&fmt_size, 4, 1, f) == 1;
+  ok &= std::fwrite(&fmt, 2, 1, f) == 1; ok &= std::fwrite(&ch, 2, 1, f) == 1;
+  ok &= std::fwrite(&sr, 4, 1, f) == 1; ok &= std::fwrite(&byte_rate, 4, 1, f) == 1;
+  ok &= std::fwrite(&block, 2, 1, f) == 1; ok &= std::fwrite(&bits, 2, 1, f) == 1;
+  ok &= std::fwrite("data", 1, 4, f) == 4; ok &= std::fwrite(&data_bytes, 4, 1, f) == 1;
   std::vector<int16_t> pcm((size_t)n);
   for (long i = 0; i < n; ++i) {
     float v = samples[i];
@@ -181,9 +187,9 @@ int advoc_wav_write(const char* path, const float* samples, long n,
     if (v < -1.0f) v = -1.0f;
     pcm[(size_t)i] = (int16_t)std::lrintf(v * 32767.0f);
   }
-  std::fwrite(pcm.data(), 2, (size_t)n, f);
-  std::fclose(f);
-  return 0;
+  ok &= std::fwrite(pcm.data(), 2, (size_t)n, f) == (size_t)n;
+  ok &= std::fclose(f) == 0;
+  return ok ? 0 : -2;
 }
 
 }  // extern "C"

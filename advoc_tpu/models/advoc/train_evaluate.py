@@ -104,7 +104,8 @@ def train(args) -> None:
     fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
     slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
     it = loader.decode_extract_and_batch(
-        fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed
+        fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed,
+        sample_rate=DEFAULT_PARAMS.sample_rate,
     )
     # Host decode + H2D transfer overlap device compute (double-buffered).
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
@@ -143,6 +144,7 @@ def evaluate(args) -> None:
         return loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=slice_len,
             repeat=False, shuffle=False, drop_remainder=False,
+            sample_rate=DEFAULT_PARAMS.sample_rate,
         )
 
     def audio_fn(gparams):

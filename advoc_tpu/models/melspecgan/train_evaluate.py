@@ -94,6 +94,7 @@ def train(args) -> None:
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size * cfg.n_critic,
         slice_len=slice_len, seed=args.seed,
+        sample_rate=DEFAULT_PARAMS.sample_rate,
     )
     stacked = (
         b.reshape(cfg.n_critic, args.batch_size, slice_len) for b in it
@@ -171,6 +172,7 @@ def evaluate(args) -> None:
         return loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=slice_len,
             repeat=False, shuffle=False, drop_remainder=False,
+            sample_rate=DEFAULT_PARAMS.sample_rate,
         )
 
     def eval_fn(gparams, wav):

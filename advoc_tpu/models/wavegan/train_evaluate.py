@@ -123,7 +123,7 @@ def train(args) -> None:
         dp_step = gan.jit_data_parallel(step, mesh)
         it = loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=cfg.slice_len,
-            seed=args.seed,
+            seed=args.seed, sample_rate=DEFAULT_PARAMS.sample_rate,
         )
         it = loader.device_prefetch(
             it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
@@ -268,6 +268,7 @@ def evaluate(args) -> None:
         return loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=cfg.slice_len,
             repeat=False, shuffle=False, drop_remainder=False,
+            sample_rate=DEFAULT_PARAMS.sample_rate if args.conditional else None,
         )
 
     if args.conditional:

@@ -71,6 +71,51 @@ class TestNativeCodec:
         n, sr = audioio.wav_num_frames(str(wav_dir / "0.wav"))
         assert (n, sr) == (22050, 22050)
 
+    @staticmethod
+    def _raw_wav(chunks: list[tuple[bytes, bytes]]) -> bytes:
+        body = b"WAVE"
+        for cid, payload in chunks:
+            body += cid + len(payload).to_bytes(4, "little") + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def test_data_chunk_before_fmt(self, tmp_path):
+        # A 'data' chunk may legally precede 'fmt '; the parser must still
+        # succeed (ADVICE r1: read_header returned false in this ordering).
+        pcm = (np.arange(-4, 4, dtype="<i2") * 1000).tobytes()
+        fmt = (
+            (1).to_bytes(2, "little")        # PCM
+            + (1).to_bytes(2, "little")      # mono
+            + (22050).to_bytes(4, "little")  # rate
+            + (44100).to_bytes(4, "little")  # byte rate
+            + (2).to_bytes(2, "little")      # block align
+            + (16).to_bytes(2, "little")     # bits
+        )
+        p = tmp_path / "data_first.wav"
+        p.write_bytes(self._raw_wav([(b"data", pcm), (b"fmt ", fmt)]))
+        x, sr = audioio._decode_native(str(p))
+        assert sr == 22050 and len(x) == 8
+        np.testing.assert_allclose(
+            x, np.arange(-4, 4, dtype=np.float32) * 1000 / 32768.0
+        )
+
+    def test_zero_bits_header_errors_not_crashes(self, tmp_path):
+        # bits=0 / channels=0 must return an error code, not SIGFPE the
+        # process on the integer division (ADVICE r1, decode_slice path).
+        fmt = bytes(2) + bytes(2) + (22050).to_bytes(4, "little") + bytes(6)
+        p = tmp_path / "zeros.wav"
+        p.write_bytes(self._raw_wav([(b"fmt ", fmt), (b"data", bytes(64))]))
+        lib = native.load()
+        import ctypes
+
+        out = np.zeros(16, dtype=np.float32)
+        rc = lib.advoc_wav_decode_slice(
+            str(p).encode(), 0, 16,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert rc < 0
+
 
 class TestLoader:
     def test_train_stream_shapes(self, wav_dir):
@@ -131,3 +176,48 @@ class TestLoader:
         b = loader.synthetic_speech(3, 4000)
         np.testing.assert_array_equal(a, b)
         assert np.abs(a).max() <= 0.71
+
+    def test_sample_rate_mismatch_raises(self, tmp_path):
+        x = loader.synthetic_speech(seed=5, n_samples=8000)
+        p = tmp_path / "16k.wav"
+        audioio.save_as_wav(x, p, 16000)
+        with pytest.raises(ValueError, match="22050"):
+            loader.decode_extract_and_batch(
+                [str(p)], batch_size=1, slice_len=1024, sample_rate=22050
+            )
+
+    def test_producer_decode_error_reraises_in_consumer(
+        self, wav_dir, monkeypatch
+    ):
+        """A corrupt file mid-stream must kill the stream loudly, not end it
+        as if the epoch completed (train_loop would otherwise checkpoint and
+        return as 'done'). VERDICT r1 weak #4."""
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        real = audioio.decode_audio_slice
+        calls = {"n": 0}
+
+        def flaky(fp, start, count):
+            calls["n"] += 1
+            if calls["n"] > 8:  # first batch decodes fine, then "corruption"
+                raise RuntimeError("corrupt wav data")
+            return real(fp, start, count)
+
+        monkeypatch.setattr(
+            "advoc_tpu.data.audioio.decode_audio_slice", flaky
+        )
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=8, slice_len=1024, seed=0, prefetch=1
+        )
+        next(it)  # first batch is fine
+        with pytest.raises(RuntimeError, match="corrupt wav data"):
+            for _ in range(10):
+                next(it)
+
+    def test_corrupt_file_raises(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"RIFF\x10\x00\x00\x00WAVEgarbage-not-chunks")
+        with pytest.raises(Exception):
+            it = loader.decode_extract_and_batch(
+                [str(p)], batch_size=1, slice_len=128
+            )
+            next(it)
