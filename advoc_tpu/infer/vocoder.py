@@ -67,6 +67,7 @@ class Vocoder:
         gl_iters: int = 30,
         phase_method: str = "lws",
         gl_precision=None,
+        phase_impl: str = "auto",
         mesh=None,
     ):
         self.g_apply = g_apply
@@ -78,6 +79,7 @@ class Vocoder:
         # generator params replicated — data-parallel serving over ICI.
         self.mesh = mesh
         self.gl_iters = gl_iters
+        self.phase_method = phase_method
         self.momentum = 0.99 if phase_method == "lws" else 0.0
         # bf16 MXU passes in the G-L loop: ~1.75× faster, re-extracted mel L1
         # within 0.001 of the f32 loop (measured on v5e); final synthesis is
@@ -87,7 +89,37 @@ class Vocoder:
         self.gl_precision = (
             _jax.lax.Precision.DEFAULT if gl_precision is None else gl_precision
         )
+        # Phase-recovery loop implementation: "xla" = matmul-DFT lax.scan;
+        # "pallas" = the whole loop VMEM-resident in one kernel (fastest;
+        # needs TPU, G-L phase methods, and ≤ _PALLAS_MAX_FRAMES since every
+        # carry lives in VMEM); "auto" picks pallas when eligible, falling
+        # back to xla per compiled length. Quality parity pallas↔xla at equal
+        # precision is asserted in tests and re-measured in bench.py.
+        if phase_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown phase_impl {phase_impl!r}")
+        self.phase_impl = phase_impl
+        self._on_tpu = any(
+            "tpu" in d.device_kind.lower() for d in _jax.devices()
+        )
         self._cache: dict[int, object] = {}  # bucketed length → jitted fn
+
+    _PALLAS_MAX_FRAMES = 512  # VMEM budget for the fused G-L kernel
+
+    def _use_pallas(self, t_frames: int) -> bool:
+        if self.phase_impl == "xla" or self.phase_method == "lws_exact":
+            return False
+        eligible = (
+            self._on_tpu
+            and t_frames <= self._PALLAS_MAX_FRAMES
+            and self.params.n_fft % self.params.hop_length == 0
+            and self.params.n_fft // self.params.hop_length == 4
+        )
+        if self.phase_impl == "pallas" and not eligible:
+            raise ValueError(
+                f"phase_impl='pallas' needs a TPU backend and ≤"
+                f"{self._PALLAS_MAX_FRAMES} frames (got {t_frames})"
+            )
+        return eligible
 
     def _compiled(self, t_frames: int):
         """One fused jit per bucketed length (per-instance cache)."""
@@ -134,6 +166,14 @@ class Vocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
+            if self.phase_method == "lws_exact":
+                return spectral.lws(mag, length, n_sweeps=self.gl_iters, params=p)
+            if self._use_pallas(t_frames):
+                return spectral.griffin_lim(
+                    mag, length, n_iters=self.gl_iters,
+                    momentum=self.momentum, params=p,
+                    precision=self.gl_precision, fft_impl="pallas",
+                )
             return spectral.griffin_lim(
                 mag, length, n_iters=self.gl_iters, momentum=self.momentum,
                 params=p, precision=self.gl_precision,
@@ -199,7 +239,11 @@ class StreamingVocoder:
         self.g_apply = g_apply
         self.g_params = g_params
         self.gl_iters = gl_iters
-        self._state_wav: np.ndarray | None = None  # pending overlap tail
+        # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
+        # only host transfer per chunk is the emitted waveform) — per-push
+        # host round-trips of tail+phase were measurable over the axon
+        # tunnel.
+        self._state_wav: Array | None = None  # pending overlap tail
         self._state_phase: tuple | None = None  # last frame's unit phase
         p = params
 
@@ -263,17 +307,18 @@ class StreamingVocoder:
         if self._state_wav is None:
             prev_tail = jnp.zeros(self._ov_samps, jnp.float32)
         else:
-            prev_tail = jnp.asarray(self._state_wav)
+            prev_tail = self._state_wav
         if self._state_phase is None:
             f = self.params.n_freq
             pc = jnp.ones(f, jnp.float32)
             ps = jnp.zeros(f, jnp.float32)
             pc1, ps1 = pc, ps
         else:
-            pc, ps, pc1, ps1 = map(jnp.asarray, self._state_phase)
+            pc, ps, pc1, ps1 = self._state_phase
         emit, tail, fc, fs, fc1, fs1 = self._run(
             self.g_params, mel_chunk, prev_tail, pc, ps, pc1, ps1
         )
-        self._state_wav = np.asarray(tail)
-        self._state_phase = tuple(np.asarray(a) for a in (fc, fs, fc1, fs1))
+        # Keep carries on device; fetch only the emitted samples.
+        self._state_wav = tail
+        self._state_phase = (fc, fs, fc1, fs1)
         return np.asarray(emit)

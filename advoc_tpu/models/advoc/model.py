@@ -236,6 +236,16 @@ class PatchDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, condition: Array, mag: Array) -> Array:
         cfg = self.cfg
+        if condition.shape[-1] != mag.shape[-1]:
+            # condition_on="mel": the 80-bin mel condition is resampled onto
+            # the n_freq axis (linear interp; both live in the same
+            # normalized-dB [0,1] domain) so it stacks with the magnitude as
+            # a second channel.
+            condition = jax.image.resize(
+                condition,
+                condition.shape[:-1] + (mag.shape[-1],),
+                method="linear",
+            )
         x = jnp.stack([condition, mag], axis=-1) * 2.0 - 1.0
         # Trim the Nyquist bin so spatial dims stay power-of-two.
         x = x[..., : cfg.n_freq - 1, :].astype(cfg.compute_dtype)

@@ -111,15 +111,9 @@ def _gl_kernel(
     n_iters: int,
     momentum: float,
     loop_dtype,
+    prec,
 ):
     r = 4  # n_fft // hop for the r9y9 params
-    # float32 mode: force 3-pass bf16 (f32-faithful) MXU passes — a plain
-    # f32 jnp.dot in a kernel silently runs single-pass bf16 multiplies.
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if loop_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
 
     mag = mag_ref[0]
     re_ref[:] = mag  # zero-phase init
@@ -152,8 +146,10 @@ def _gl_kernel(
                            preferred_element_type=jnp.float32, precision=prec)
             nim += jnp.dot(band, fwd_im_ref[k * hop : (k + 1) * hop, :],
                            preferred_element_type=jnp.float32, precision=prec)
-        ure = nre + momentum * (nre - pre_ref[:])
-        uim = nim + momentum * (nim - pim_ref[:])
+        # No momentum on iteration 1 (oracle semantics: no previous rebuilt).
+        m = jnp.where(i == 0, 0.0, momentum).astype(jnp.float32)
+        ure = nre + m * (nre - pre_ref[:])
+        uim = nim + m * (nim - pim_ref[:])
         scale = mag_ref[0] * jax.lax.rsqrt(ure * ure + uim * uim + 1e-12)
         re_ref[:] = ure * scale
         im_ref[:] = uim * scale
@@ -173,11 +169,23 @@ def griffin_lim_pallas(
     params: AudioParams = DEFAULT_PARAMS,
     interpret: bool = False,
     loop_dtype: str = "float32",
+    precision=None,
 ) -> jax.Array:
     """(B, T, n_freq) magnitudes → (B, T*hop) waveform; whole loop in VMEM.
 
     T should be the vocoder chunk size (≤ ~512 frames for VMEM). Boundary
     semantics per module docstring (uncropped-OLA iteration).
+
+    loop_dtype × precision modes (a plain f32 jnp.dot inside a kernel
+    silently runs single-pass bf16 MXU multiplies, so precision must be
+    explicit):
+
+    * f32 + HIGHEST (default): 3-pass MXU, f32-faithful — XLA-HIGHEST quality.
+    * f32 + DEFAULT ("mixed"): f32 carries/constants, single-pass bf16 MXU —
+      matches the XLA matmul path at precision=DEFAULT (the production
+      Vocoder default) at ~2× the loop speed of the f32 mode.
+    * bf16 + DEFAULT: bf16-stored constants too; fastest, measurably worse
+      re-extraction (~0.01 mel L1) — throughput-over-fidelity mode.
     """
     assert mag.ndim == 3, mag.shape
     b, t_frames, F = mag.shape
@@ -188,6 +196,12 @@ def griffin_lim_pallas(
     )
     magp = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, 0), (0, F_PAD - F)))
 
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(loop_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
     kern = functools.partial(
         _gl_kernel,
         t_frames=t_frames,
@@ -195,6 +209,7 @@ def griffin_lim_pallas(
         n_iters=n_iters,
         momentum=momentum,
         loop_dtype=jnp.dtype(loop_dtype),
+        prec=precision,
     )
     out = pl.pallas_call(
         kern,

@@ -316,6 +316,140 @@ def magspec_to_waveform_griffin_lim(
     return griffin_lim(mag, length, n_iters=n_iters, params=params)
 
 
+# ---------------------------------------------------------------------------
+# LWS (Local Weighted Sums) phase recovery — Le Roux et al. 2010, "Fast signal
+# reconstruction from magnitude STFT spectrogram based on spectrogram
+# consistency". The reference repo's default phase path is the native ``lws``
+# C extension (SURVEY.md §2.1 #4, §2.3); that package is unavailable here, so
+# this float64 implementation — built from the published algorithm — is the
+# binding spec the JAX twin must match.
+#
+# Math: a spectrogram S is *consistent* iff S = G(S) with G = STFT∘iSTFT.
+# G is linear over ℝ but only ℝ-linear over ℂ (irfft enforces conjugate
+# symmetry), so G(S)[m'] = Σ_dm A_dm S[m'-dm] + B_dm conj(S[m'-dm]), where
+# the per-frame-offset kernels A/B are measured numerically from this very
+# oracle's stft/istft (delta responses at an interior frame; exact to ~1e-15).
+# A is Toeplitz-banded in frequency (|Δn| ≤ 3 holds 99.99% of its energy for
+# the 1024/256 Hann setup) and B lives only in the DC/Nyquist corners (the
+# conjugate fold). LWS truncates G to those local supports and sweeps the
+# frames in order, updating each frame's *phase* to that of its local
+# weighted sum (magnitude pinned) — a Gauss-Seidel pass over the consistency
+# fixed point, vs. Griffin-Lim's Jacobi step (G-L ≡ the untruncated,
+# all-frames-at-once version of the same update).
+# ---------------------------------------------------------------------------
+
+
+def _lws_band_mask(n_freq: int, width: int) -> np.ndarray:
+    idx = np.arange(n_freq)
+    return np.abs(idx[:, None] - idx[None, :]) <= width
+
+
+def _lws_corner_mask(n_freq: int, width: int) -> np.ndarray:
+    s = np.add.outer(np.arange(n_freq), np.arange(n_freq))
+    return (s <= width) | (s >= 2 * (n_freq - 1) - width)
+
+
+_LWS_KERNEL_CACHE: dict = {}
+
+
+def lws_kernels(
+    params: AudioParams = DEFAULT_PARAMS,
+    band: int = 3,
+    corner: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Truncated ℝ-linear consistency kernels (A, B), each (2Q-1, F, F).
+
+    Q = n_fft // hop (4 for the r9y9 params ⇒ frame offsets −3…+3). A is
+    masked to the |Δn| ≤ ``band`` diagonal band, B to the DC/Nyquist corners
+    (``n'+n0 ≤ corner`` or ``≥ 2(F−1)−corner``). Measured numerically: istft
+    then stft of per-bin delta spectrograms (real and imaginary separately,
+    since G is not ℂ-linear), so the kernels inherit this oracle's exact
+    STFT conventions including NOLA normalization. Cached per argument.
+    """
+    key = (params, band, corner)
+    if key in _LWS_KERNEL_CACHE:
+        return _LWS_KERNEL_CACHE[key]
+    F = params.n_freq
+    Q = params.n_fft // params.hop_length
+    assert params.n_fft % params.hop_length == 0, "LWS kernels need hop | n_fft"
+    T0 = 4 * Q  # enough interior frames around the probe
+    m0 = T0 // 2
+    length = (T0 - 1) * params.hop_length
+
+    def measure(val: complex) -> np.ndarray:
+        K = np.zeros((2 * Q - 1, F, F), dtype=np.complex128)
+        for n0 in range(F):
+            S = np.zeros((T0, F), dtype=np.complex128)
+            S[m0, n0] = val
+            G = stft(istft(S, length, params), params)[:T0]
+            for j, dm in enumerate(range(-(Q - 1), Q)):
+                K[j, :, n0] = G[m0 + dm, :]
+        return K
+
+    K1 = measure(1.0)
+    Ki = measure(1.0j)
+    A = (K1 - 1j * Ki) / 2.0
+    B = (K1 + 1j * Ki) / 2.0
+    A *= _lws_band_mask(F, band)[None]
+    B *= _lws_corner_mask(F, corner)[None]
+    _LWS_KERNEL_CACHE[key] = (A, B)
+    return A, B
+
+
+def lws(
+    mag: np.ndarray,
+    length: int | None = None,
+    n_sweeps: int = 10,
+    band: int = 3,
+    corner: int = 8,
+    include_self: bool = False,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> np.ndarray:
+    """Batch LWS phase recovery: magnitude (T, F) → float64 waveform.
+
+    Each sweep visits frames 0…T−1 in order; frame m's phase is set to the
+    phase of its truncated consistency sum over frames m−(Q−1)…m+(Q−1)
+    (already-visited frames contribute their updated values — Gauss-Seidel).
+    Bins within a frame update jointly from the pre-update frame (block
+    update). ``include_self=False`` drops the current bin's own (dm=0, Δn=0)
+    contribution — it only biases the sum toward the current phase and slows
+    convergence (Le Roux 2010's accelerated variant). Out-of-range neighbor
+    frames are zeros. Zero-phase init, matching :func:`griffin_lim`.
+    """
+    if length is None:
+        length = mag.shape[0] * params.hop_length
+    A, B = lws_kernels(params, band, corner)
+    Q = params.n_fft // params.hop_length
+    mag = np.asarray(mag, dtype=np.float64)
+    T = mag.shape[0]
+    diag_a = np.diag(A[Q - 1]).copy()
+    diag_b = np.diag(B[Q - 1]).copy()
+    spad = np.zeros((T + 2 * (Q - 1), mag.shape[1]), dtype=np.complex128)
+    spad[Q - 1 : Q - 1 + T] = mag.astype(np.complex128)  # zero phase
+    for _ in range(n_sweeps):
+        for m in range(T):
+            win = spad[m : m + 2 * Q - 1]  # frames m-(Q-1) … m+(Q-1)
+            # A/B are indexed by dm = response − source; contribution to
+            # frame m from source frame m+j−(Q−1) uses kernel index
+            # dm = −(j−(Q−1)) ⇒ reversed kernel order.
+            acc = np.einsum("jab,jb->a", A[::-1], win)
+            acc += np.einsum("jab,jb->a", B[::-1], np.conj(win))
+            if not include_self:
+                cur = spad[m + Q - 1]
+                acc -= diag_a * cur + diag_b * np.conj(cur)
+            spad[m + Q - 1] = mag[m] * (acc / np.maximum(np.abs(acc), 1e-16))
+    return istft(spad[Q - 1 : Q - 1 + T], length, params)
+
+
+def magspec_to_waveform_lws(
+    mag: np.ndarray,
+    n_sweeps: int = 10,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> np.ndarray:
+    """Magnitude → waveform via batch LWS (reference API name)."""
+    return lws(mag, n_sweeps=n_sweeps, params=params)
+
+
 def r9y9_melspec_to_waveform(
     mel: np.ndarray,
     n_iters: int = 60,

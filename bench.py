@@ -56,6 +56,14 @@ def main() -> None:
     B = 64  # 64 chunks × 256 frames × 256 hop / 22050 Hz ≈ 190 s of audio
     GL_ITERS = 30
 
+    # Phase recovery: the VMEM-resident Pallas G-L kernel when a TPU backend
+    # is present (r2: 11.7 ms vs 39.5 ms XLA-matmul at this config, slope-
+    # timed; re-extracted mel L1 delta 8e-5 — BASELINE.md kernel table),
+    # XLA matmul-DFT otherwise.
+    on_tpu = any("tpu" in d.device_kind.lower() for d in jax.devices())
+    fft_impl = "pallas" if on_tpu else "matmul"
+    log(f"[bench] phase impl: {fft_impl}")
+
     def fused_vocode(params, mel):
         est = spectral.r9y9_melspec_to_magspec(mel, P)
         est_norm = spectral.normalize_db(
@@ -68,6 +76,7 @@ def main() -> None:
         return spectral.griffin_lim(
             mag, cfg.n_frames * P.hop_length, n_iters=GL_ITERS,
             momentum=0.99, params=P, precision=jax.lax.Precision.DEFAULT,
+            fft_impl=fft_impl,
         )
 
     vocode = jax.jit(fused_vocode)
@@ -96,11 +105,26 @@ def main() -> None:
     for trial in range(3):
         dt, out, csum = timed(vocode, gparams, mel)
         best = min(best, dt)
-        log(f"[bench] trial {trial}: {dt*1000:.1f} ms (mean={csum:.2e})")
+        log(f"[bench] trial {trial} (single call): {dt*1000:.1f} ms "
+            f"(mean={csum:.2e})")
+
+    # Steady-state throughput: K back-to-back calls, ONE final readback.
+    # A single timed call pays the axon tunnel's full dispatch+readback
+    # (~25-28 ms) once per batch; a serving loop pipelines dispatch against
+    # execution, which is what this measures (and what the per-stage
+    # slope-timed kernel table in BASELINE.md corroborates).
+    K = 8
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(K):
+        o = vocode(gparams, mel)
+    float(jnp.mean(o))
+    chained = (time.perf_counter() - t0) / K
 
     audio_seconds = B * cfg.n_frames * P.hop_length / P.sample_rate
-    xrt = audio_seconds / best
-    log(f"[bench] {audio_seconds:.1f}s audio in {best*1000:.1f}ms "
+    xrt = audio_seconds / chained
+    log(f"[bench] {audio_seconds:.1f}s audio in {chained*1000:.1f}ms/batch "
+        f"steady-state ({best*1000:.1f}ms single-call) "
         f"→ {xrt:.0f}× realtime ({xrt*P.sample_rate/1e6:.2f}M samples/s/chip)")
 
     # Sanity: output finite (single readback of a reduced value).

@@ -213,3 +213,28 @@ class TestStreamingPhaseContinuity:
         err_carry = fidelity(stream(True))
         err_fresh = fidelity(stream(False))
         assert err_carry <= 1.15 * err_fresh, (err_carry, err_fresh)
+
+
+class TestVocoderPhaseOptions:
+    def test_lws_exact_phase_method(self, mel):
+        voc = Vocoder(phase_method="lws_exact", gl_iters=2, chunk_frames=64)
+        wav = voc(mel[:64])
+        assert wav.shape == (64 * P.hop_length,)
+        mel2 = sp.waveform_to_r9y9_melspec(wav, P)[:64]
+        assert float(jnp.abs(mel2 - mel[:64]).mean()) < 0.08
+
+    def test_phase_impl_validation(self, mel):
+        with pytest.raises(ValueError, match="phase_impl"):
+            Vocoder(phase_impl="nope")
+        # pallas explicitly requested off-TPU must fail loudly, not silently
+        # fall back (tests run on the forced CPU mesh).
+        voc = Vocoder(phase_impl="pallas", chunk_frames=64)
+        if not voc._on_tpu:
+            with pytest.raises(ValueError, match="pallas"):
+                voc(mel[:64])
+
+    def test_auto_is_xla_on_cpu(self, mel):
+        voc = Vocoder(phase_impl="auto", chunk_frames=64)
+        assert not voc._use_pallas(64) or voc._on_tpu
+        wav = voc(mel[:64])
+        assert bool(jnp.isfinite(wav).all())

@@ -197,3 +197,67 @@ class TestGriffinLim:
         out = fn(mels)
         assert out.shape == (2, mel.shape[0] * P.hop_length)
         assert bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# LWS (true Local Weighted Sums) phase recovery
+# ---------------------------------------------------------------------------
+
+
+class TestLWS:
+    def test_kernels_reproduce_consistency_operator(self):
+        """Widely-truncated kernels must reproduce G = STFT∘iSTFT at an
+        interior frame to near machine precision (validates the numeric
+        kernel-measurement machinery)."""
+        A, B = ref.lws_kernels(P, band=16, corner=16)
+        Q = P.n_fft // P.hop_length
+        rng = np.random.default_rng(1)
+        T = 24
+        S = rng.standard_normal((T, P.n_freq)) + 1j * rng.standard_normal(
+            (T, P.n_freq)
+        )
+        GS = ref.stft(ref.istft(S, (T - 1) * P.hop_length, P), P)[:T]
+        m = 12
+        acc = sum(
+            A[dm + Q - 1] @ S[m - dm] + B[dm + Q - 1] @ np.conj(S[m - dm])
+            for dm in range(-(Q - 1), Q)
+        )
+        rel = np.abs(acc - GS[m]).max() / np.abs(GS[m]).max()
+        assert rel < 1e-3, rel  # residual = energy outside the wide band
+
+    def test_kernel_band_locality(self):
+        """The LWS premise: the kernel is *local* — the default band=3 holds
+        >99.9% of A's energy and corner=8 >99.99% of B's."""
+        A3, B8 = ref.lws_kernels(P, band=3, corner=8)
+        Aw, Bw = ref.lws_kernels(P, band=16, corner=16)
+        assert (np.abs(A3) ** 2).sum() / (np.abs(Aw) ** 2).sum() > 0.999
+        assert (np.abs(B8) ** 2).sum() / (np.abs(Bw) ** 2).sum() > 0.9999
+
+    def test_jax_lws_matches_oracle(self, wav):
+        mag = ref.waveform_to_magspec(wav, P)[:32]
+        gold = ref.lws(mag, n_sweeps=3, params=P)
+        got = np.asarray(
+            jax.jit(lambda m: sp.lws(m, n_sweeps=3, params=P))(
+                jnp.asarray(mag, jnp.float32)
+            )
+        )
+        rel = np.abs(got - gold).max() / np.abs(gold).max()
+        assert rel < 1e-4, rel
+
+    def test_lws_reduces_consistency_error(self, wav):
+        mag = ref.waveform_to_magspec(wav, P)[:64]
+        x0 = ref.istft(mag.astype(np.complex128), 64 * P.hop_length, P)
+        x5 = np.asarray(sp.lws(jnp.asarray(mag, jnp.float32), n_sweeps=5, params=P))
+        e0 = np.abs(ref.waveform_to_magspec(x0, P)[:64] - mag).mean()
+        e5 = np.abs(ref.waveform_to_magspec(x5.astype(np.float64), P)[:64] - mag).mean()
+        assert e5 < 0.6 * e0
+
+    def test_lws_batched(self, wav):
+        mag = jnp.asarray(ref.waveform_to_magspec(wav, P)[:16], jnp.float32)
+        mags = jnp.stack([mag, 0.5 * mag])
+        out = jax.jit(lambda m: sp.lws(m, n_sweeps=2, params=P))(mags)
+        single = jax.jit(lambda m: sp.lws(m, n_sweeps=2, params=P))(mag)
+        assert out.shape == (2, 16 * P.hop_length)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(single), atol=1e-5
+        )
