@@ -50,6 +50,50 @@ def synthetic_speech(
     return x.astype(np.float32)
 
 
+STRESS_KINDS = ("silence", "clipping", "noise", "chirp", "tone", "dc")
+
+
+def stress_fixture(
+    kind: str, n_samples: int, sample_rate: int = 22050, seed: int = 0
+) -> np.ndarray:
+    """Degenerate/adversarial eval inputs (SURVEY.md §4 self-generated
+    fixtures; VERDICT r1 missing #4): characterize vocoder behavior outside
+    the speech-like fixture distribution. Classes:
+
+    * ``silence`` — all zeros (G-L must not NaN on zero magnitude).
+    * ``clipping`` — speech driven 4× past full scale and hard-clipped
+      (dense odd-harmonic splatter across the whole band).
+    * ``noise`` — white Gaussian noise (phase recovery has no harmonic
+      structure to lock onto; the hardest class for G-L).
+    * ``chirp`` — linear 50 Hz → 8 kHz sweep (sweeps through every mel band,
+      exposes time-frequency smearing at band edges).
+    * ``tone`` — steady 440 Hz sine (narrowband line between mel centers).
+    * ``dc`` — constant offset plus quiet speech (energy below fmin=125 Hz
+      is invisible to the mel basis and unrecoverable by design).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    if kind == "silence":
+        x = np.zeros(n_samples)
+    elif kind == "clipping":
+        x = np.clip(
+            4.0 * synthetic_speech(seed, n_samples, sample_rate), -0.95, 0.95
+        )
+    elif kind == "noise":
+        x = rng.standard_normal(n_samples)
+        x = 0.7 * x / np.abs(x).max()
+    elif kind == "chirp":
+        f = 50.0 + (8000.0 - 50.0) * np.arange(n_samples) / max(n_samples, 1)
+        x = 0.7 * np.sin(2 * np.pi * np.cumsum(f) / sample_rate)
+    elif kind == "tone":
+        x = 0.7 * np.sin(2 * np.pi * 440.0 * t)
+    elif kind == "dc":
+        x = 0.4 + 0.3 * synthetic_speech(seed, n_samples, sample_rate)
+    else:
+        raise ValueError(f"unknown stress kind {kind!r}; one of {STRESS_KINDS}")
+    return np.asarray(x, np.float32)
+
+
 def _slice_plan_eval(n_frames: int, slice_len: int, hop: int) -> list[int]:
     if n_frames <= slice_len:
         return [0]

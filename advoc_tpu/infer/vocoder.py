@@ -103,7 +103,12 @@ class Vocoder:
         )
         self._cache: dict[int, object] = {}  # bucketed length → jitted fn
 
-    _PALLAS_MAX_FRAMES = 512  # VMEM budget for the fused G-L kernel
+    # VMEM budget for the fused G-L kernel: with bf16-stored DFT maps the
+    # per-program footprint at T=256 is ~11 MB, safely under the 16 MB
+    # scoped-VMEM limit; T=512 needs ~19 MB and fails to compile. 256 is
+    # also exactly the production chunk size, so every chunk-aligned bucket
+    # of length 256 rides the kernel and longer buckets use the XLA scan.
+    _PALLAS_MAX_FRAMES = 256
 
     def _use_pallas(self, t_frames: int) -> bool:
         if self.phase_impl == "xla" or self.phase_method == "lws_exact":
@@ -169,6 +174,9 @@ class Vocoder:
             if self.phase_method == "lws_exact":
                 return spectral.lws(mag, length, n_sweeps=self.gl_iters, params=p)
             if self._use_pallas(t_frames):
+                # At DEFAULT precision the Pallas loop uses split bf16
+                # (hi, lo) DFT maps — quality within 6e-4 mel L1 of the XLA
+                # loop at 1.4× its speed (see spectral.griffin_lim).
                 return spectral.griffin_lim(
                     mag, length, n_iters=self.gl_iters,
                     momentum=self.momentum, params=p,

@@ -28,7 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_samples", type=int, default=8)
     p.add_argument("--eval_once", action="store_true")
     p.add_argument("--vocode", action="store_true",
-                   help="also vocode sampled mels to wavs (heuristic path)")
+                   help="also vocode sampled mels to wavs (heuristic path, "
+                        "or through a trained advoc generator with "
+                        "--advoc_ckpt)")
+    p.add_argument("--advoc_ckpt", default=None,
+                   help="train_dir of a trained advoc run; sampled mels are "
+                        "vocoded through its generator (the paper's "
+                        "melspecgan+advoc unconditional pipeline, SURVEY.md "
+                        "§2.1 #13) instead of the pure heuristic path")
+    p.add_argument("--advoc_model_size", choices=["full", "small"],
+                   default="full")
+    p.add_argument("--advoc_overrides", default=None,
+                   help="config overrides for the advoc generator (must "
+                        "match how the checkpoint was trained)")
+    p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
@@ -111,12 +124,63 @@ def train(args) -> None:
     )
 
 
+def _make_vocoder(args):
+    """Build the mel→waveform vocoder for --vocode.
+
+    Default: the fused heuristic pipeline. With --advoc_ckpt: the trained
+    AdvocGenerator restored from that run repairs the heuristic magnitude
+    estimate inside the same single jit region — the paper's unconditional
+    pipeline (melspecgan samples mels, advoc vocodes them; SURVEY.md:53-55).
+    Returns (vocoder, description).
+    """
+    import jax.numpy as jnp
+
+    from advoc_tpu.infer import Vocoder
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS
+
+    if args.advoc_ckpt is None:
+        cfg = make_config(args)
+        return (
+            Vocoder(params=DEFAULT_PARAMS, chunk_frames=cfg.n_frames,
+                    gl_iters=args.gl_iters),
+            "heuristic",
+        )
+
+    from advoc_tpu.models.advoc import AdvocGenerator, PatchDiscriminator
+    from advoc_tpu.models.advoc.model import AdvocConfig, small_config
+    from advoc_tpu.train import gan
+    from advoc_tpu.train.checkpoint import CheckpointManager
+    from advoc_tpu.utils import apply_overrides
+
+    acfg = small_config() if args.advoc_model_size == "small" else AdvocConfig()
+    acfg = apply_overrides(acfg, args.advoc_overrides)
+    g = AdvocGenerator(acfg)
+    d = PatchDiscriminator(acfg)
+    est0 = jnp.zeros((1, acfg.n_frames, acfg.n_freq))
+    gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0), seed=0)
+    mgr = CheckpointManager(args.advoc_ckpt)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(
+            f"--advoc_ckpt {args.advoc_ckpt}: no checkpoint found "
+            "(train one with models/advoc/train_evaluate.py --mode train)"
+        )
+    bundle = mgr.restore(template={"g": gstate, "d": dstate})
+    mgr.close()
+    voc = Vocoder(
+        g_apply=lambda p, est: g.apply({"params": p}, est),
+        g_params=bundle["g"].params, params=DEFAULT_PARAMS,
+        chunk_frames=acfg.n_frames, gl_iters=args.gl_iters,
+    )
+    return voc, f"advoc step {step}"
+
+
 def infer(args) -> None:
     import jax
     import jax.numpy as jnp
 
     from advoc_tpu.data import audioio
-    from advoc_tpu.infer import Vocoder
     from advoc_tpu.ops.reference import DEFAULT_PARAMS
     from advoc_tpu.train.checkpoint import CheckpointManager
 
@@ -141,9 +205,23 @@ def infer(args) -> None:
     np.save(out_dir / "mels.npy", mels)
     print(f"[infer] wrote {out_dir/'mels.npy'} {mels.shape}", flush=True)
     if args.vocode:
-        voc = Vocoder(params=DEFAULT_PARAMS, chunk_frames=cfg.n_frames,
-                      gl_iters=30)
+        from advoc_tpu.ops import spectral
+
+        voc, desc = _make_vocoder(args)
         wavs = np.asarray(voc(jnp.asarray(mels)))
+        # Quality panel: re-extract mels from the vocoded audio and compare
+        # against the sampled mels (the round-trip metric used repo-wide).
+        re_mel = np.asarray(
+            jax.jit(lambda w: spectral.waveform_to_r9y9_melspec(
+                w, DEFAULT_PARAMS))(jnp.asarray(wavs))
+        )
+        t = min(re_mel.shape[1], mels.shape[1])
+        per_sample = np.mean(
+            np.abs(re_mel[:, :t] - mels[:, :t]), axis=(1, 2)
+        )
+        print(f"[infer] vocoder: {desc}; re-extracted mel L1 "
+              f"mean={per_sample.mean():.4f} "
+              f"per-sample={np.round(per_sample, 4).tolist()}", flush=True)
         for i, w in enumerate(wavs):
             path = out_dir / f"unconditional_{i}.wav"
             audioio.save_as_wav(w, path, DEFAULT_PARAMS.sample_rate)

@@ -16,10 +16,12 @@ Per iteration (all on-chip):
      the equivalent lane-concat, and this needs no (T, n_fft) temp)
   4. fast-GL momentum update + magnitude projection (VPU)
 
-Measured (v5e, 32×256-frame chunks = 95 s audio, 30 iters, vs the XLA
-matmul-GL in ops.spectral): f32-faithful 68 ms vs 74 ms; bf16 loop 34 ms vs
-43 ms. Quality (re-extracted mel L1): f32 0.0129 ≈ XLA-DEFAULT 0.0129;
-bf16 0.0217 — pick bf16 only when throughput beats fidelity.
+Measured (v5e, 64×256-frame chunks = 190 s audio, 30 iters, slope-timed, vs
+the XLA matmul-GL in ops.spectral at precision=DEFAULT — 40.1 ms / mel L1
+0.0129): split bf16-pair maps 28.8 ms / 0.0135 (production); f32 maps +
+3-pass HIGHEST 82 ms / 0.0127 (Mosaic's 3-pass dot is ~5.6× single-pass);
+plain single-pass (f32 or bf16 maps — the MXU truncates either way) 14.8 ms
+/ 0.0214, the correlated table-truncation error compounding over iterations.
 
 Boundary semantics: the XLA path (ops.spectral.griffin_lim) crops to the
 chunk length and reflect-pads before each re-analysis; this kernel iterates
@@ -53,9 +55,13 @@ F_PAD = 640  # 513 rfft bins padded to a lane multiple
 def _gl_consts(params: AudioParams, t_frames: int, loop_dtype: str = "float32"):
     """Padded DFT maps + f32 NOLA normalizations (uncropped signal).
 
-    loop_dtype="float32" (default): f32 carries + 3-pass MXU → XLA-quality.
-    loop_dtype="bfloat16": single-pass MXU, ~2× faster loop, ~0.01 worse
-    re-extracted mel L1 — the throughput mode.
+    loop_dtype="float32" (default): f32 maps; pair with precision=HIGHEST
+    for 3-pass f32-faithful MXU (XLA quality) or DEFAULT for single-pass.
+    loop_dtype="split": each f32 map as a bf16 (hi, lo) pair — hi+lo carries
+    ~16 mantissa bits of the sinusoid tables, so two single-pass dots
+    recover map precision at 2 MXU passes (the production mode).
+    loop_dtype="bfloat16": plain bf16 maps, single-pass — fastest, ~0.009
+    worse re-extracted mel L1 (correlated table truncation compounds).
     """
     n_fft, hop = params.n_fft, params.hop_length
     F = params.n_freq
@@ -81,15 +87,21 @@ def _gl_consts(params: AudioParams, t_frames: int, loop_dtype: str = "float32"):
     n_blocks_pad = -(-n_blocks // 8) * 8
     norm_pad = np.zeros((n_blocks_pad, hop), np.float64)
     norm_pad[:n_blocks] = norm
-    dt = jnp.dtype(loop_dtype)
-    return (
-        fwd_re.astype(dt),
-        fwd_im.astype(dt),
-        inv_re.astype(dt),
-        inv_im.astype(dt),
-        norm_pad.astype(np.float32),
-        n_blocks_pad,
-    )
+    maps = (fwd_re, fwd_im, inv_re, inv_im)
+    if loop_dtype == "split":
+        bf16 = jnp.dtype("bfloat16")
+        out_maps = []
+        for m in maps:
+            hi = m.astype(bf16)
+            lo = (m - hi.astype(np.float32)).astype(bf16)
+            # One (2·rows, cols) array per map: hi block stacked over lo, so
+            # the kernel signature stays four map refs in every mode.
+            out_maps.append(np.concatenate([hi, lo], axis=0))
+        maps = tuple(out_maps)
+    else:
+        dt = jnp.dtype(loop_dtype)
+        maps = tuple(m.astype(dt) for m in maps)
+    return (*maps, norm_pad.astype(np.float32), n_blocks_pad)
 
 
 def _gl_kernel(
@@ -108,10 +120,12 @@ def _gl_kernel(
     *,
     t_frames: int,
     hop: int,
+    n_fft: int,
     n_iters: int,
     momentum: float,
     loop_dtype,
     prec,
+    split: bool,
 ):
     r = 4  # n_fft // hop for the r9y9 params
 
@@ -121,16 +135,40 @@ def _gl_kernel(
     pre_ref[:] = mag
     pim_ref[:] = jnp.zeros_like(mag)
 
+    def mm(x, m_ref, rows: slice, cols: slice, logical_rows: int):
+        """x @ map[rows, cols]; in split mode the map ref stacks a bf16
+        (hi, lo) pair along rows and the product is two single-pass dots —
+        hi+lo carries ~16 mantissa bits of the table at 2 MXU passes."""
+        if split:
+            xb = x.astype(jnp.bfloat16)
+            lo_rows = slice(logical_rows + rows.start, logical_rows + rows.stop)
+            return (
+                jnp.dot(xb, m_ref[rows, cols],
+                        preferred_element_type=jnp.float32, precision=prec)
+                + jnp.dot(xb, m_ref[lo_rows, cols],
+                          preferred_element_type=jnp.float32, precision=prec)
+            )
+        return jnp.dot(x.astype(loop_dtype), m_ref[rows, cols],
+                       preferred_element_type=jnp.float32, precision=prec)
+
+    f_pad = mag_ref.shape[-1]
+    all_f = slice(0, f_pad)
+    all_n = slice(0, n_fft)
+
+    # VMEM-stack discipline: the f32 DFT maps are 10.5 MB of the ~16 MB
+    # scoped budget, so the loop body must avoid large live temporaries.
+    # Synthesis accumulates per hop-band — (T, hop) partials instead of a
+    # (T, n_fft) frames buffer — and analysis writes straight into re/im
+    # (free after synthesis) instead of separate nre/nim temps. Same f32
+    # arithmetic as the one-big-dot form, reassociated per band.
     def synth_ola():
-        frames = (
-            jnp.dot(re_ref[:].astype(loop_dtype), inv_re_ref[:],
-                    preferred_element_type=jnp.float32, precision=prec)
-            + jnp.dot(im_ref[:].astype(loop_dtype), inv_im_ref[:],
-                      preferred_element_type=jnp.float32, precision=prec)
-        )  # (T, n_fft) windowed time frames
         y_ref[:] = jnp.zeros_like(y_ref)
         for k in range(r):
-            y_ref[k : k + t_frames, :] += frames[:, k * hop : (k + 1) * hop]
+            cols = slice(k * hop, (k + 1) * hop)
+            y_ref[k : k + t_frames, :] += (
+                mm(re_ref[:], inv_re_ref, all_f, cols, f_pad)
+                + mm(im_ref[:], inv_im_ref, all_f, cols, f_pad)
+            )
         y_ref[:] = y_ref[:] * norm_ref[:]
 
     def body(i, _):
@@ -138,23 +176,23 @@ def _gl_kernel(
         # Analysis without re-framing: frames @ W == Σ_k blocks[i+k] @ W_k
         # (banded matmuls over sublane-shifted block views — Mosaic rejects
         # the equivalent lane-concat, and this needs no (T, n_fft) temp).
-        nre = jnp.zeros((t_frames, mag_ref.shape[-1]), jnp.float32)
-        nim = jnp.zeros((t_frames, mag_ref.shape[-1]), jnp.float32)
+        # The rebuilt spectrum accumulates into re/im in place.
+        re_ref[:] = jnp.zeros_like(mag)
+        im_ref[:] = jnp.zeros_like(mag)
         for k in range(r):
-            band = y_ref[k : k + t_frames, :].astype(loop_dtype)
-            nre += jnp.dot(band, fwd_re_ref[k * hop : (k + 1) * hop, :],
-                           preferred_element_type=jnp.float32, precision=prec)
-            nim += jnp.dot(band, fwd_im_ref[k * hop : (k + 1) * hop, :],
-                           preferred_element_type=jnp.float32, precision=prec)
+            rows = slice(k * hop, (k + 1) * hop)
+            band = y_ref[k : k + t_frames, :]
+            re_ref[:] += mm(band, fwd_re_ref, rows, all_f, n_fft)
+            im_ref[:] += mm(band, fwd_im_ref, rows, all_f, n_fft)
         # No momentum on iteration 1 (oracle semantics: no previous rebuilt).
         m = jnp.where(i == 0, 0.0, momentum).astype(jnp.float32)
-        ure = nre + m * (nre - pre_ref[:])
-        uim = nim + m * (nim - pim_ref[:])
-        scale = mag_ref[0] * jax.lax.rsqrt(ure * ure + uim * uim + 1e-12)
+        ure = re_ref[:] + m * (re_ref[:] - pre_ref[:])
+        uim = im_ref[:] + m * (im_ref[:] - pim_ref[:])
+        pre_ref[:] = re_ref[:]  # save rebuilt for the next momentum step
+        pim_ref[:] = im_ref[:]
+        scale = mag * jax.lax.rsqrt(ure * ure + uim * uim + 1e-12)
         re_ref[:] = ure * scale
         im_ref[:] = uim * scale
-        pre_ref[:] = nre
-        pim_ref[:] = nim
         return 0
 
     jax.lax.fori_loop(0, n_iters, body, 0)
@@ -178,14 +216,19 @@ def griffin_lim_pallas(
 
     loop_dtype × precision modes (a plain f32 jnp.dot inside a kernel
     silently runs single-pass bf16 MXU multiplies, so precision must be
-    explicit):
+    explicit). Carries/scratch are f32 in every mode; loop_dtype controls
+    the stored DFT maps and the dot-input cast (timings in the module
+    docstring):
 
-    * f32 + HIGHEST (default): 3-pass MXU, f32-faithful — XLA-HIGHEST quality.
-    * f32 + DEFAULT ("mixed"): f32 carries/constants, single-pass bf16 MXU —
-      matches the XLA matmul path at precision=DEFAULT (the production
-      Vocoder default) at ~2× the loop speed of the f32 mode.
-    * bf16 + DEFAULT: bf16-stored constants too; fastest, measurably worse
-      re-extraction (~0.01 mel L1) — throughput-over-fidelity mode.
+    * "split" (production — what ``spectral.griffin_lim`` selects at
+      precision=DEFAULT): maps as bf16 (hi, lo) pairs, two single-pass dots
+      each — table precision ~16 mantissa bits at 2 MXU passes; quality
+      within 6e-4 mel L1 of the XLA loop at 1.4× its speed.
+    * "float32" + HIGHEST (default): 3-pass MXU, f32-faithful — best
+      quality, but Mosaic's 3-pass dot is ~5.6× single-pass cost.
+    * "float32"/"bfloat16" + DEFAULT: plain single-pass; fastest but ~0.009
+      worse mel L1 (the correlated table truncation compounds over
+      iterations) — throughput-over-fidelity only.
     """
     assert mag.ndim == 3, mag.shape
     b, t_frames, F = mag.shape
@@ -196,20 +239,23 @@ def griffin_lim_pallas(
     )
     magp = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, 0), (0, F_PAD - F)))
 
+    split = loop_dtype == "split"
     if precision is None:
         precision = (
             jax.lax.Precision.HIGHEST
-            if jnp.dtype(loop_dtype) == jnp.float32
+            if not split and jnp.dtype(loop_dtype) == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
     kern = functools.partial(
         _gl_kernel,
         t_frames=t_frames,
         hop=hop,
+        n_fft=n_fft,
         n_iters=n_iters,
         momentum=momentum,
-        loop_dtype=jnp.dtype(loop_dtype),
+        loop_dtype=jnp.dtype("bfloat16" if split else loop_dtype),
         prec=precision,
+        split=split,
     )
     out = pl.pallas_call(
         kern,

@@ -177,6 +177,32 @@ def stft(x: Array, params: AudioParams = DEFAULT_PARAMS) -> Array:
     return spec.reshape(lead + spec.shape[1:])
 
 
+def frame_local_stft_mag(
+    xp: Array,
+    params: AudioParams = DEFAULT_PARAMS,
+    n_frames: int | None = None,
+) -> Array:
+    """|STFT| of an already-padded signal — the frame-local core shared by
+    :func:`stft` and the time-sharded featurizer (``advoc_tpu.parallel.halo``).
+
+    No padding is applied here: frame t covers ``xp[..., t·hop : t·hop+n_fft)``,
+    so callers own the halo/center-padding policy (halo exchange supplies
+    neighbor samples; :func:`stft` reflect-pads). Keeping this public means the
+    framing+window+rfft semantics exist in exactly one place.
+
+    xp: (..., L_padded) → (..., n_frames, n_freq) float32.
+    n_frames defaults to the maximum that fits: 1 + (L_padded − n_fft)//hop.
+    """
+    lead = xp.shape[:-1]
+    xb = xp.reshape((-1, xp.shape[-1])).astype(jnp.float32)
+    if n_frames is None:
+        n_frames = 1 + (xp.shape[-1] - params.n_fft) // params.hop_length
+    frames = _frame(xb, params, n_frames)
+    win = jnp.asarray(_consts(params)["window"], dtype=jnp.float32)
+    mag = jnp.abs(jnp.fft.rfft(frames * win, n=params.n_fft, axis=-1))
+    return mag.reshape(lead + mag.shape[1:])
+
+
 def istft(spec: Array, length: int, params: AudioParams = DEFAULT_PARAMS) -> Array:
     """Inverse STFT with NOLA normalization. (..., n_frames, n_freq) → (..., length)."""
     lead = spec.shape[:-2]
@@ -319,13 +345,25 @@ def griffin_lim(
                 "fft_impl='pallas' needs (B, T, F) magnitudes and the "
                 "default length"
             )
-        # f32 storage always; precision picks single-pass bf16 MXU (DEFAULT,
-        # matches the XLA matmul path's quality at that precision) or 3-pass
-        # f32-faithful (HIGHEST).
+        # Mode map (measured on v5e, B=64×256 frames, 30 iters — BASELINE.md):
+        # DEFAULT/None → "split": DFT maps as bf16 (hi, lo) pairs, two
+        #   single-pass dots each — ~16 mantissa bits of table precision at
+        #   2 MXU passes. 28.8 ms, re-extracted mel L1 within 6e-4 of the
+        #   XLA loop (inside the 2e-3 quality gate) and 1.4× faster than it.
+        #   Plain single-pass on f32/bf16 maps is NOT offered here: the
+        #   correlated table truncation compounds over iterations and costs
+        #   0.009 mel L1 (use griffin_lim_pallas(loop_dtype="bfloat16")
+        #   directly to reproduce).
+        # HIGHEST → f32 maps + 3-pass MXU: f32-faithful, 82 ms (slower than
+        #   the XLA loop — Mosaic's 3-pass dot is ~5.6× its single-pass).
+        if precision is None or precision == jax.lax.Precision.DEFAULT:
+            return griffin_lim_pallas(
+                mag, n_iters=n_iters, momentum=momentum, params=params,
+                loop_dtype="split",
+            )
         return griffin_lim_pallas(
             mag, n_iters=n_iters, momentum=momentum, params=params,
-            loop_dtype="float32",
-            precision=precision if precision is not None else _HIGHEST,
+            loop_dtype="float32", precision=precision,
         )
 
     if fft_impl != "matmul":

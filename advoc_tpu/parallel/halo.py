@@ -45,8 +45,6 @@ def sharded_stft_mag(
     left_halo = pad
     right_halo = n_fft - hop - pad  # 256 for the r9y9 params
 
-    win = jnp.asarray(spectral._consts(params)["window"], jnp.float32)
-
     def local(wav_shard: jax.Array) -> jax.Array:
         # wav_shard: (Lc,) — this device's samples.
         idx = jax.lax.axis_index(axis)
@@ -67,10 +65,11 @@ def sharded_stft_mag(
         left = jnp.where(idx == 0, own_left_reflect, right_from_left)
         right = jnp.where(idx == n_dev - 1, own_right_reflect, left_from_right)
 
-        xp = jnp.concatenate([left, wav_shard, right])[None]  # (1, Lc+halos)
+        xp = jnp.concatenate([left, wav_shard, right])  # (Lc + halos,)
         n_frames = wav_shard.shape[0] // hop
-        frames = spectral._frame(xp, params, n_frames)
-        return jnp.abs(jnp.fft.rfft(frames * win, n=n_fft, axis=-1))[0]
+        # Public frame-local STFT entry point — one copy of the framing+
+        # window+rfft semantics, shared with spectral.stft.
+        return spectral.frame_local_stft_mag(xp, params, n_frames)
 
     fn = shard_map(
         local,

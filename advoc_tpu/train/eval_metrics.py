@@ -60,3 +60,44 @@ def vocoder_eval(
         "snr_db": snr_db(wav_ref, wav_gen),
         "mel_l1": mel_l1(wav_ref, wav_gen, params),
     }
+
+
+def stress_panel(
+    vocoder,
+    kinds: tuple[str, ...] | None = None,
+    n_frames: int = 256,
+    params: AudioParams = DEFAULT_PARAMS,
+    seed: int = 0,
+) -> dict[str, dict[str, float]]:
+    """Round-trip the vocoder over each stress-fixture class and return the
+    objective panel per class (VERDICT r1 missing #4 hardening).
+
+    ``vocoder`` is any mel→waveform callable (e.g. :class:`~advoc_tpu.infer.
+    Vocoder`). Every metric is asserted finite except ``snr_db``, which is
+    legitimately −∞-ish on the silence class (zero signal energy).
+    """
+    import numpy as np
+
+    from advoc_tpu.data import loader
+
+    kinds = loader.STRESS_KINDS if kinds is None else kinds
+    panel_fn = jax.jit(lambda a, b: vocoder_eval(a, b, params))
+    out: dict[str, dict[str, float]] = {}
+    for kind in kinds:
+        wav = loader.stress_fixture(
+            kind, n_frames * params.hop_length, params.sample_rate, seed=seed
+        )
+        wav = jnp.asarray(wav)
+        mel = spectral.waveform_to_r9y9_melspec(wav, params)
+        gen = jnp.asarray(vocoder(mel))[: wav.shape[0]]
+        metrics = {k: float(v) for k, v in panel_fn(wav, gen).items()}
+        bad = [
+            k for k, v in metrics.items()
+            if k != "snr_db" and not np.isfinite(v)
+        ]
+        if bad:
+            raise FloatingPointError(
+                f"non-finite metrics {bad} on stress class {kind!r}: {metrics}"
+            )
+        out[kind] = metrics
+    return out

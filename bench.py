@@ -57,11 +57,12 @@ def main() -> None:
     GL_ITERS = 30
 
     # Phase recovery: the VMEM-resident Pallas G-L kernel when a TPU backend
-    # is present (r2: 11.7 ms vs 39.5 ms XLA-matmul at this config, slope-
-    # timed; re-extracted mel L1 delta 8e-5 — BASELINE.md kernel table),
-    # XLA matmul-DFT otherwise.
+    # is present (at DEFAULT precision it uses split bf16 (hi,lo) DFT maps:
+    # 28.8 ms vs 40.1 ms XLA-matmul at this config, slope-timed, mel L1
+    # within 6e-4 — BASELINE.md kernel table), XLA matmul-DFT otherwise.
     on_tpu = any("tpu" in d.device_kind.lower() for d in jax.devices())
     fft_impl = "pallas" if on_tpu else "matmul"
+    gl_precision = jax.lax.Precision.DEFAULT
     log(f"[bench] phase impl: {fft_impl}")
 
     def fused_vocode(params, mel):
@@ -75,7 +76,7 @@ def main() -> None:
         )
         return spectral.griffin_lim(
             mag, cfg.n_frames * P.hop_length, n_iters=GL_ITERS,
-            momentum=0.99, params=P, precision=jax.lax.Precision.DEFAULT,
+            momentum=0.99, params=P, precision=gl_precision,
             fft_impl=fft_impl,
         )
 

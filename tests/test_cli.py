@@ -77,6 +77,60 @@ class TestMelSpecGANCLI:
         assert len(list(out.glob("*.wav"))) == 2
 
 
+class TestMelSpecGANAdvocPipeline:
+    """The paper's unconditional pipeline: melspecgan samples mels, a
+    *trained* advoc generator repairs the heuristic estimate before phase
+    recovery (SURVEY.md §2.1 #13, VERDICT round-1 missing #3)."""
+
+    def _save_advoc_ckpt(self, ckpt_dir, step=3):
+        import jax.numpy as jnp
+
+        from advoc_tpu.models.advoc import AdvocGenerator, PatchDiscriminator
+        from advoc_tpu.models.advoc.model import AdvocConfig
+        from advoc_tpu.train import gan
+        from advoc_tpu.train.checkpoint import CheckpointManager
+        from advoc_tpu.utils import apply_overrides
+
+        acfg = apply_overrides(AdvocConfig(), TINY)
+        g = AdvocGenerator(acfg)
+        d = PatchDiscriminator(acfg)
+        est0 = jnp.zeros((1, acfg.n_frames, acfg.n_freq))
+        gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0), seed=0)
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(step, {"g": gstate, "d": dstate})
+        mgr.close()
+
+    def test_vocode_through_trained_advoc(self, tmp_path, capsys):
+        from advoc_tpu.models.melspecgan import train_evaluate as te
+
+        ckpt_dir = tmp_path / "advoc_run"
+        self._save_advoc_ckpt(ckpt_dir)
+        te.main([
+            "--mode", "infer", "--train_dir", str(tmp_path / "msg"),
+            "--model_overrides", "latent_dim=8,width=8,dtype=float32",
+            "--n_samples", "2", "--vocode", "--gl_iters", "1",
+            "--advoc_ckpt", str(ckpt_dir), "--advoc_overrides", TINY,
+            "--infer_dir", str(tmp_path / "out"),
+        ])
+        out = tmp_path / "out"
+        assert len(list(out.glob("*.wav"))) == 2
+        captured = capsys.readouterr().out
+        assert "advoc step 3" in captured
+        assert "mel L1" in captured
+
+    def test_missing_advoc_ckpt_raises(self, tmp_path):
+        from advoc_tpu.models.melspecgan import train_evaluate as te
+
+        with pytest.raises(FileNotFoundError, match="no checkpoint"):
+            te.main([
+                "--mode", "infer", "--train_dir", str(tmp_path / "msg"),
+                "--model_overrides", "latent_dim=8,width=8,dtype=float32",
+                "--n_samples", "1", "--vocode", "--gl_iters", "1",
+                "--advoc_ckpt", str(tmp_path / "nonexistent"),
+                "--infer_dir", str(tmp_path / "out"),
+            ])
+
+
 class TestVocodeCLI:
     def test_npy_to_wavs(self, tmp_path):
         from advoc_tpu.infer import vocode_cli

@@ -63,3 +63,23 @@ class TestGriffinLimKernel:
         y = griffin_lim_pallas(mag, n_iters=2, params=P, interpret=True,
                                loop_dtype="bfloat16")
         assert bool(jnp.isfinite(y).all())
+
+    def test_split_mode_matches_f32_maps(self):
+        """Production mode: bf16 (hi,lo) map pairs. hi+lo reconstructs the
+        f32 tables to ~2^-16, so at matched (DEFAULT) dot precision the
+        split result must track the f32-map result closely."""
+        mel, mag = _mag(b=1, t=64, seed=4)
+        import jax
+
+        ys = griffin_lim_pallas(mag, n_iters=4, momentum=0.99, params=P,
+                                interpret=True, loop_dtype="split")
+        yf = griffin_lim_pallas(mag, n_iters=4, momentum=0.99, params=P,
+                                interpret=True, loop_dtype="float32",
+                                precision=jax.lax.Precision.HIGHEST)
+        assert bool(jnp.isfinite(ys).all())
+        t = mel.shape[1]
+        l1s = float(jnp.abs(sp.waveform_to_r9y9_melspec(ys, P)[:, :t] - mel).mean())
+        l1f = float(jnp.abs(sp.waveform_to_r9y9_melspec(yf, P)[:, :t] - mel).mean())
+        # interpret mode executes dots in f32 regardless of precision, so
+        # the only difference is map storage — must be within 2e-3.
+        assert abs(l1s - l1f) < 2e-3, (l1s, l1f)

@@ -94,6 +94,17 @@ class TestSTFT:
         assert s.shape == (3, 1, 1 + len(wav) // P.hop_length, 513)
         np.testing.assert_allclose(np.asarray(s[0, 0]), np.asarray(s[2, 0]))
 
+    def test_frame_local_stft_mag_matches_stft(self, wav):
+        # Reflect-padding manually + the public frame-local core must equal
+        # |stft| exactly (the halo featurizer relies on this identity).
+        x = jnp.asarray(wav, jnp.float32)
+        pad = P.n_fft // 2
+        xp = jnp.pad(x, (pad, pad), mode="reflect")
+        got = np.asarray(sp.frame_local_stft_mag(xp, P))
+        want = np.asarray(jnp.abs(sp.stft(x, P)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_istft_roundtrip_oracle(self, wav):
         spec = ref.stft(wav, P)
         y = ref.istft(spec, len(wav), P)
