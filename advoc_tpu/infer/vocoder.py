@@ -177,10 +177,16 @@ class Vocoder:
                 # At DEFAULT precision the Pallas loop uses split bf16
                 # (hi, lo) DFT maps — quality within 6e-4 mel L1 of the XLA
                 # loop at 1.4× its speed (see spectral.griffin_lim).
+                # drop_nyquist: the Nyquist bin here is the heuristic
+                # estimate passed through the generator unchanged, and the
+                # mel basis has no support there (fmax 7600 < 11025), so it
+                # is the ~silence amplitude floor; running the loop on
+                # exactly 512 bins is 20% less MXU work (640→512 lanes).
                 return spectral.griffin_lim(
                     mag, length, n_iters=self.gl_iters,
                     momentum=self.momentum, params=p,
                     precision=self.gl_precision, fft_impl="pallas",
+                    drop_nyquist=True,
                 )
             return spectral.griffin_lim(
                 mag, length, n_iters=self.gl_iters, momentum=self.momentum,

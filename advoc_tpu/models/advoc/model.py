@@ -63,6 +63,20 @@ class AdvocConfig:
     # eval L1 after 300 matched steps 0.0223 vs 0.0184 — a 21% quality cost.
     # Default False (quality); the latency-focused small config enables it.
     fast_head: bool = False
+    # freq_pack: fold this many adjacent frequency bins into input channels
+    # (space-to-depth on the freq axis) before the U-Net and unfold after
+    # the head. Same pixel coverage and parameter count, but every level
+    # runs at 1/freq_pack the spatial width with freq_pack× the channel
+    # density — which is what the MXU wants. The profiler showed the
+    # full-resolution tail dominating the unpacked forward: up5 at 256×512
+    # with cout=64 ran at ~12% MXU and the cout=1 head filled 1/128 lanes;
+    # together 23.5 ms of a 44 ms forward (v5e, B=64). Measured forward /
+    # 1000-step eval-L1 A/B over 3 seeds (BASELINE.md): pack1 43.8 ms /
+    # 0.0256±0.0031, pack2 22.0 ms / 0.0239±0.0021, pack4 11.4 ms /
+    # 0.0305±0.0018, pack8 5.5 ms / 0.0317±0.0041. Default 2: quality-safe
+    # at 2× speed; 4/8 are throughput modes with a real (~19%) L1 cost.
+    # Must divide n_freq−1.
+    freq_pack: int = 2
     # Loss assembly (SURVEY.md §2.1 #9; loss type unverified in reference —
     # configurable, lsgan default for stability).
     gan_type: str = "lsgan"      # dcgan | lsgan | wgan-gp
@@ -77,8 +91,17 @@ class AdvocConfig:
 
 
 def _norm(cfg: AdvocConfig, name: str):
+    # Norm in the compute dtype (bf16): flax computes the group statistics
+    # in f32 internally regardless (normalization._compute_stats upcasts),
+    # so this is numerically the f32 norm with bf16-quantized output — and
+    # it removes a bf16→f32→bf16 round trip of the full activation tensor
+    # at every level (with dtype=f32 the norms were ~28 ms of HBM
+    # convert+reduce traffic in a 44 ms B=64 forward, profiler-measured).
+    # Params stay f32. dtype=None would NOT do this: flax promotes with the
+    # f32 params and emits f32 again.
     return nn.GroupNorm(
-        num_groups=cfg.norm_groups, dtype=jnp.float32, name=name
+        num_groups=cfg.norm_groups, dtype=cfg.compute_dtype,
+        param_dtype=jnp.float32, name=name,
     )
 
 
@@ -169,7 +192,14 @@ class AdvocGenerator(nn.Module):
         cfg = self.cfg
         assert est.shape[-1] == cfg.n_freq, est.shape
         body, nyquist = est[..., : cfg.n_freq - 1], est[..., cfg.n_freq - 1 :]
-        x = (body * 2.0 - 1.0)[..., None].astype(cfg.compute_dtype)  # NHWC
+        p = cfg.freq_pack
+        n_bins = cfg.n_freq - 1
+        assert n_bins % max(p, 1) == 0, (n_bins, p)
+        bsz, t = body.shape[0], body.shape[1]
+        # Space-to-depth on the freq axis: (B, T, bins) → (B, T, bins/p, p).
+        # p=1 reproduces the classic single-channel spectrogram image.
+        x = (body * 2.0 - 1.0).astype(cfg.compute_dtype)
+        x = x.reshape(bsz, t, n_bins // p, p)  # NHWC
 
         # Channel schedule: width, 2w, 4w, 8w, 8w, ... capped at 8w.
         feats: Sequence[int] = [
@@ -198,27 +228,33 @@ class AdvocGenerator(nn.Module):
             x = _Up(f, cfg, name=f"up{i}")(x)
 
         if cfg.fast_head:
-            # Half-res head: concat the finest skip, predict the 2×2 residual
-            # sub-pixels with one 3×3 conv, depth-to-space to full res. Saves
-            # both full-resolution convs (the decoder's two biggest matmuls).
+            # Half-res head: concat the finest skip, predict the residual's
+            # 2×2 spatial sub-pixels (× p packed bins) with one 3×3 conv,
+            # depth-to-space to full res. Saves both finest-level convs.
             x = jnp.concatenate([x, skips[0].astype(x.dtype)], axis=-1)
             d = nn.Conv(
-                4, (3, 3), padding="SAME", dtype=jnp.float32, name="head"
-            )(x.astype(jnp.float32))
-            b, h, w, _ = d.shape
+                4 * p, (3, 3), padding="SAME", dtype=cfg.compute_dtype,
+                name="head",
+            )(x).astype(jnp.float32)
+            _, h, w, _ = d.shape
             delta = (
-                d.reshape(b, h, w, 2, 2)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(b, h * 2, w * 2)
+                d.reshape(bsz, h, w, 2, 2, p)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(bsz, h * 2, w * 2 * p)
             )
         else:
+            # Head in compute dtype with p output channels (the packed
+            # bins), unpacked back to the bin axis. The old unpacked head
+            # (cout=1 at 256×512, f32 input) filled 1/128 MXU lanes and
+            # upcast an 8.6 GB activation — ~11 ms at B=64 by itself.
             delta = nn.Conv(
-                1,
+                p,
                 (4, 4),
                 padding="SAME",
-                dtype=jnp.float32,
+                dtype=cfg.compute_dtype,
                 name="head",
-            )(x.astype(jnp.float32))[..., 0]
+            )(x).astype(jnp.float32)
+            delta = delta.reshape(bsz, t, n_bins)
 
         repaired = jnp.clip(body + delta, 0.0, 1.0)
         return jnp.concatenate([repaired, nyquist], axis=-1)

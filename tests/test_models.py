@@ -31,6 +31,34 @@ class TestAdvocModels:
         assert out.shape == (2, 64, 513)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
+    def test_freq_pack_variants(self):
+        # freq_pack is a layout change (freq bins → channels), not a model
+        # capacity change: every pack must preserve I/O shapes, range, and
+        # the Nyquist passthrough; pack=1 is the classic 1-channel image.
+        import dataclasses
+
+        est = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 513))
+        for pack in (1, 2, 4, 8):
+            cfg = dataclasses.replace(TINY, freq_pack=pack)
+            g = AdvocGenerator(cfg)
+            params = g.init(jax.random.PRNGKey(1), est)["params"]
+            out = g.apply({"params": params}, est)
+            assert out.shape == (2, 64, 513), (pack, out.shape)
+            assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+            np.testing.assert_array_equal(
+                np.asarray(out[..., -1]), np.asarray(est[..., -1])
+            )
+
+    def test_freq_pack_fast_head(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, freq_pack=4, fast_head=True)
+        g = AdvocGenerator(cfg)
+        est = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 513))
+        params = g.init(jax.random.PRNGKey(1), est)["params"]
+        out = g.apply({"params": params}, est)
+        assert out.shape == (1, 64, 513)
+
     def test_nyquist_passthrough(self):
         g = AdvocGenerator(TINY)
         est = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 513))

@@ -64,6 +64,28 @@ class TestGriffinLimKernel:
                                loop_dtype="bfloat16")
         assert bool(jnp.isfinite(y).all())
 
+    def test_512_bin_mode_matches_full(self):
+        """drop_nyquist path: the loop on 512 bins (exact lane multiple)
+        must match the 513-bin loop — the Nyquist bin in this pipeline is
+        the ~zero heuristic passthrough."""
+        mel, mag = _mag(b=1, t=64, seed=5)
+        y512 = griffin_lim_pallas(mag[..., :-1], n_iters=4, momentum=0.99,
+                                  params=P, interpret=True)
+        y513 = griffin_lim_pallas(mag, n_iters=4, momentum=0.99, params=P,
+                                  interpret=True)
+        assert y512.shape == y513.shape
+        t = mel.shape[1]
+        l1a = float(jnp.abs(sp.waveform_to_r9y9_melspec(y512, P)[:, :t] - mel).mean())
+        l1b = float(jnp.abs(sp.waveform_to_r9y9_melspec(y513, P)[:, :t] - mel).mean())
+        assert abs(l1a - l1b) < 2e-4, (l1a, l1b)
+
+    def test_drop_nyquist_guard(self):
+        import pytest
+
+        _, mag = _mag(b=1, t=64, seed=6)
+        with pytest.raises(ValueError, match="pallas-path"):
+            sp.griffin_lim(mag, n_iters=1, params=P, drop_nyquist=True)
+
     def test_split_mode_matches_f32_maps(self):
         """Production mode: bf16 (hi,lo) map pairs. hi+lo reconstructs the
         f32 tables to ~2^-16, so at matched (DEFAULT) dot precision the
