@@ -16,12 +16,13 @@ Per iteration (all on-chip):
      the equivalent lane-concat, and this needs no (T, n_fft) temp)
   4. fast-GL momentum update + magnitude projection (VPU)
 
-Measured (v5e, 64×256-frame chunks = 190 s audio, 30 iters, slope-timed, vs
-the XLA matmul-GL in ops.spectral at precision=DEFAULT — 40.1 ms / mel L1
-0.0129): split bf16-pair maps 28.8 ms / 0.0135 (production); f32 maps +
-3-pass HIGHEST 82 ms / 0.0127 (Mosaic's 3-pass dot is ~5.6× single-pass);
-plain single-pass (f32 or bf16 maps — the MXU truncates either way) 14.8 ms
-/ 0.0214, the correlated table-truncation error compounding over iterations.
+Measured (v5e, 64×256-frame chunks = 190 s audio, 30 iters, slope-timed,
+512-bin mode; the XLA matmul-GL reference at precision=DEFAULT is 40.1 ms /
+mel L1 0.0129): production split_synth 16.9 ms / 0.0136; full split 22.1 ms
+/ 0.0135; f32 maps + 3-pass HIGHEST 82 ms / 0.0127 (Mosaic's 3-pass dot is
+~5.6× single-pass); plain single-pass (f32 or bf16 maps — the MXU truncates
+either way) 11.5 ms / 0.0214, the correlated table-truncation error
+compounding over iterations. See griffin_lim_pallas for the mode map.
 
 Boundary semantics: the XLA path (ops.spectral.griffin_lim) crops to the
 chunk length and reflect-pads before each re-analysis; this kernel iterates
@@ -92,21 +93,37 @@ def _gl_consts(params: AudioParams, t_frames: int, loop_dtype: str = "float32",
     n_blocks_pad = -(-n_blocks // 8) * 8
     norm_pad = np.zeros((n_blocks_pad, hop), np.float64)
     norm_pad[:n_blocks] = norm
-    maps = (fwd_re, fwd_im, inv_re, inv_im)
-    if loop_dtype == "split":
-        bf16 = jnp.dtype("bfloat16")
-        out_maps = []
-        for m in maps:
-            hi = m.astype(bf16)
-            lo = (m - hi.astype(np.float32)).astype(bf16)
-            # One (2·rows, cols) array per map: hi block stacked over lo, so
-            # the kernel signature stays four map refs in every mode.
-            out_maps.append(np.concatenate([hi, lo], axis=0))
-        maps = tuple(out_maps)
-    else:
+    bf16 = jnp.dtype("bfloat16")
+
+    def _split(m):
+        hi = m.astype(bf16)
+        lo = (m - hi.astype(np.float32)).astype(bf16)
+        # One (2·rows, cols) array per map: hi block stacked over lo, so
+        # the kernel signature stays four map refs in every mode.
+        return np.concatenate([hi, lo], axis=0)
+
+    split_anal, split_synth = _split_flags(loop_dtype)
+    if split_anal is None:  # plain mode: one dtype for all maps
         dt = jnp.dtype(loop_dtype)
-        maps = tuple(m.astype(dt) for m in maps)
+        maps = tuple(m.astype(dt) for m in (fwd_re, fwd_im, inv_re, inv_im))
+    else:
+        maps = (
+            *( (_split(m) if split_anal else m.astype(bf16))
+               for m in (fwd_re, fwd_im) ),
+            *( (_split(m) if split_synth else m.astype(bf16))
+               for m in (inv_re, inv_im) ),
+        )
     return (*maps, norm_pad.astype(np.float32), n_blocks_pad)
+
+
+def _split_flags(loop_dtype: str):
+    """(split_anal, split_synth) for the split family; (None, None) for the
+    plain f32/bf16 modes."""
+    return {
+        "split": (True, True),
+        "split_synth": (False, True),   # hi/lo inv maps, plain bf16 fwd
+        "split_anal": (True, False),    # hi/lo fwd maps, plain bf16 inv
+    }.get(loop_dtype, (None, None))
 
 
 def _gl_kernel(
@@ -130,7 +147,8 @@ def _gl_kernel(
     momentum: float,
     loop_dtype,
     prec,
-    split: bool,
+    split_anal: bool,
+    split_synth: bool,
 ):
     r = 4  # n_fft // hop for the r9y9 params
 
@@ -140,7 +158,8 @@ def _gl_kernel(
     pre_ref[:] = mag
     pim_ref[:] = jnp.zeros_like(mag)
 
-    def mm(x, m_ref, rows: slice, cols: slice, logical_rows: int):
+    def mm(x, m_ref, rows: slice, cols: slice, logical_rows: int,
+           split: bool):
         """x @ map[rows, cols]; in split mode the map ref stacks a bf16
         (hi, lo) pair along rows and the product is two single-pass dots —
         hi+lo carries ~16 mantissa bits of the table at 2 MXU passes."""
@@ -171,8 +190,8 @@ def _gl_kernel(
         for k in range(r):
             cols = slice(k * hop, (k + 1) * hop)
             y_ref[k : k + t_frames, :] += (
-                mm(re_ref[:], inv_re_ref, all_f, cols, f_pad)
-                + mm(im_ref[:], inv_im_ref, all_f, cols, f_pad)
+                mm(re_ref[:], inv_re_ref, all_f, cols, f_pad, split_synth)
+                + mm(im_ref[:], inv_im_ref, all_f, cols, f_pad, split_synth)
             )
         y_ref[:] = y_ref[:] * norm_ref[:]
 
@@ -187,8 +206,8 @@ def _gl_kernel(
         for k in range(r):
             rows = slice(k * hop, (k + 1) * hop)
             band = y_ref[k : k + t_frames, :]
-            re_ref[:] += mm(band, fwd_re_ref, rows, all_f, n_fft)
-            im_ref[:] += mm(band, fwd_im_ref, rows, all_f, n_fft)
+            re_ref[:] += mm(band, fwd_re_ref, rows, all_f, n_fft, split_anal)
+            im_ref[:] += mm(band, fwd_im_ref, rows, all_f, n_fft, split_anal)
         # No momentum on iteration 1 (oracle semantics: no previous rebuilt).
         m = jnp.where(i == 0, 0.0, momentum).astype(jnp.float32)
         ure = re_ref[:] + m * (re_ref[:] - pre_ref[:])
@@ -225,15 +244,20 @@ def griffin_lim_pallas(
     the stored DFT maps and the dot-input cast (timings in the module
     docstring):
 
-    * "split" (production — what ``spectral.griffin_lim`` selects at
-      precision=DEFAULT): maps as bf16 (hi, lo) pairs, two single-pass dots
-      each — table precision ~16 mantissa bits at 2 MXU passes; quality
-      within 6e-4 mel L1 of the XLA loop at 1.4× its speed.
+    * "split_synth" (production — what ``spectral.griffin_lim`` selects at
+      precision=DEFAULT): synthesis (inv) maps as bf16 (hi, lo) pairs (two
+      single-pass dots — ~16 mantissa bits), analysis (fwd) maps plain bf16
+      — 1.5 MXU passes/iteration. Table truncation only matters where it
+      imprints on the waveform: 16.9 ms / mel L1 0.01356, equal to "split".
+    * "split": both sides split — 22.1 ms / 0.01351; the reference point
+      that established split_synth loses nothing.
+    * "split_anal": analysis split, synthesis plain — 16.9 ms / 0.02252;
+      demonstrates synthesis is the precision-critical side.
     * "float32" + HIGHEST (default): 3-pass MXU, f32-faithful — best
-      quality, but Mosaic's 3-pass dot is ~5.6× single-pass cost.
-    * "float32"/"bfloat16" + DEFAULT: plain single-pass; fastest but ~0.009
-      worse mel L1 (the correlated table truncation compounds over
-      iterations) — throughput-over-fidelity only.
+      quality, but Mosaic's 3-pass dot is ~5.6× single-pass cost (82 ms).
+    * "float32"/"bfloat16" + DEFAULT: plain single-pass; fastest (11.5 ms)
+      but ~0.009 worse mel L1 (the correlated table truncation compounds
+      over iterations) — throughput-over-fidelity only.
     """
     assert mag.ndim == 3, mag.shape
     b, t_frames, F = mag.shape
@@ -249,11 +273,12 @@ def griffin_lim_pallas(
     f_pad = -(-F // 128) * 128
     magp = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, 0), (0, f_pad - F)))
 
-    split = loop_dtype == "split"
+    split_anal, split_synth = _split_flags(loop_dtype)
+    is_split = split_anal is not None
     if precision is None:
         precision = (
             jax.lax.Precision.HIGHEST
-            if not split and jnp.dtype(loop_dtype) == jnp.float32
+            if not is_split and jnp.dtype(loop_dtype) == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
     kern = functools.partial(
@@ -263,9 +288,10 @@ def griffin_lim_pallas(
         n_fft=n_fft,
         n_iters=n_iters,
         momentum=momentum,
-        loop_dtype=jnp.dtype("bfloat16" if split else loop_dtype),
+        loop_dtype=jnp.dtype("bfloat16" if is_split else loop_dtype),
         prec=precision,
-        split=split,
+        split_anal=bool(split_anal),
+        split_synth=bool(split_synth),
     )
     out = pl.pallas_call(
         kern,

@@ -354,21 +354,24 @@ def griffin_lim(
             # Nyquist): running the loop on exactly 512 bins lands on a
             # lane multiple — 20% less MXU work than 513-padded-to-640.
             mag = mag[..., : params.n_freq - 1]
-        # Mode map (measured on v5e, B=64×256 frames, 30 iters — BASELINE.md):
-        # DEFAULT/None → "split": DFT maps as bf16 (hi, lo) pairs, two
-        #   single-pass dots each — ~16 mantissa bits of table precision at
-        #   2 MXU passes. 28.8 ms, re-extracted mel L1 within 6e-4 of the
-        #   XLA loop (inside the 2e-3 quality gate) and 1.4× faster than it.
-        #   Plain single-pass on f32/bf16 maps is NOT offered here: the
-        #   correlated table truncation compounds over iterations and costs
-        #   0.009 mel L1 (use griffin_lim_pallas(loop_dtype="bfloat16")
-        #   directly to reproduce).
+        # Mode map (measured on v5e, B=64×256 frames, 30 iters, 512-bin —
+        # BASELINE.md):
+        # DEFAULT/None → "split_synth": SYNTHESIS maps as bf16 (hi, lo)
+        #   pairs (two single-pass dots — ~16 mantissa bits), analysis maps
+        #   plain bf16 single-pass. 16.9 ms at mel L1 0.01356, equal to
+        #   splitting both sides (22.1 ms / 0.01351): table truncation only
+        #   matters where it imprints on the waveform (synthesis); analysis
+        #   phase-estimate errors wash out in the magnitude projection —
+        #   splitting only analysis gives 0.02252, as bad as no split.
+        #   Plain single-pass everywhere (11.5 ms / 0.0214) fails the
+        #   quality gate and is not offered here (use
+        #   griffin_lim_pallas(loop_dtype="bfloat16") to reproduce).
         # HIGHEST → f32 maps + 3-pass MXU: f32-faithful, 82 ms (slower than
         #   the XLA loop — Mosaic's 3-pass dot is ~5.6× its single-pass).
         if precision is None or precision == jax.lax.Precision.DEFAULT:
             return griffin_lim_pallas(
                 mag, n_iters=n_iters, momentum=momentum, params=params,
-                loop_dtype="split",
+                loop_dtype="split_synth",
             )
         return griffin_lim_pallas(
             mag, n_iters=n_iters, momentum=momentum, params=params,

@@ -86,6 +86,23 @@ class TestGriffinLimKernel:
         with pytest.raises(ValueError, match="pallas-path"):
             sp.griffin_lim(mag, n_iters=1, params=P, drop_nyquist=True)
 
+    def test_asymmetric_split_modes_run(self):
+        """split_synth (production) and split_anal both execute; in
+        interpret mode (f32 dots regardless of precision) all split modes
+        differ only by map storage, so they must agree closely."""
+        mel, mag = _mag(b=1, t=64, seed=7)
+        t = mel.shape[1]
+        l1 = {}
+        for mode in ("split", "split_synth", "split_anal"):
+            y = griffin_lim_pallas(mag, n_iters=4, momentum=0.99, params=P,
+                                   interpret=True, loop_dtype=mode)
+            assert bool(jnp.isfinite(y).all())
+            l1[mode] = float(
+                jnp.abs(sp.waveform_to_r9y9_melspec(y, P)[:, :t] - mel).mean()
+            )
+        assert abs(l1["split"] - l1["split_synth"]) < 2e-3, l1
+        assert abs(l1["split"] - l1["split_anal"]) < 2e-2, l1
+
     def test_split_mode_matches_f32_maps(self):
         """Production mode: bf16 (hi,lo) map pairs. hi+lo reconstructs the
         f32 tables to ~2^-16, so at matched (DEFAULT) dot precision the
