@@ -285,6 +285,14 @@ class PatchDiscriminator(nn.Module):
         x = jnp.stack([condition, mag], axis=-1) * 2.0 - 1.0
         # Trim the Nyquist bin so spatial dims stay power-of-two.
         x = x[..., : cfg.n_freq - 1, :].astype(cfg.compute_dtype)
+        # Same freq space-to-depth as the generator: p adjacent bins fold
+        # into channels ([f0·cond, f0·mag, f1·cond, f1·mag, …] per group),
+        # so the first conv fills MXU lanes instead of running a 2-channel
+        # conv at full 512-bin width. Patch logits cover p× more bins each.
+        p = cfg.freq_pack
+        if p > 1:
+            bsz, t, f, c = x.shape
+            x = x.reshape(bsz, t, f // p, p * c)
         for i in range(cfg.disc_layers):
             f = min(cfg.disc_width * (2**i), cfg.disc_width * 8)
             stride = (2, 2) if i < cfg.disc_layers - 1 else (1, 1)

@@ -72,8 +72,8 @@ class TestAdvocModels:
         mag = jnp.zeros((2, 64, 513))
         params = d.init(jax.random.PRNGKey(0), cond, mag)["params"]
         logits = d.apply({"params": params}, cond, mag)
-        # disc_layers=4, 3 of them stride 2: 64/8=8, 512/8=64
-        assert logits.shape == (2, 8, 64, 1)
+        # disc_layers=4, 3 of them stride 2: 64/8=8; freq 512/pack/8
+        assert logits.shape == (2, 8, 512 // TINY.freq_pack // 8, 1)
 
     def test_small_variant_is_config_not_code(self):
         cfg = small_config()
