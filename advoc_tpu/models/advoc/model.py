@@ -77,6 +77,13 @@ class AdvocConfig:
     # at 2× speed; 4/8 are throughput modes with a real (~19%) L1 cost.
     # Must divide n_freq−1.
     freq_pack: int = 2
+    # Head conv kernel size (k×k). The head is lane-starved on the MXU
+    # whatever its kernel (cout = freq_pack ≤ 8 of 128 lanes), so its cost
+    # is ~linear in taps: k=4 is 5.8 ms of the B=64 forward, k=1 ≈ 0.5 ms.
+    # 1000-step eval-L1 A/B over 3 seeds: k=1 0.0221±0.0006 vs k=4
+    # 0.0229±0.0003 — the up-stack features already carry the receptive
+    # field, so the cheap head is also the equal-or-better head.
+    head_kernel: int = 1
     # Loss assembly (SURVEY.md §2.1 #9; loss type unverified in reference —
     # configurable, lsgan default for stability).
     gan_type: str = "lsgan"      # dcgan | lsgan | wgan-gp
@@ -249,7 +256,7 @@ class AdvocGenerator(nn.Module):
             # upcast an 8.6 GB activation — ~11 ms at B=64 by itself.
             delta = nn.Conv(
                 p,
-                (4, 4),
+                (cfg.head_kernel, cfg.head_kernel),
                 padding="SAME",
                 dtype=cfg.compute_dtype,
                 name="head",
