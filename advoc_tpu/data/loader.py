@@ -119,8 +119,17 @@ def decode_extract_and_batch(
     prefetch: int = 4,
     drop_remainder: bool = True,
     sample_rate: int | None = None,
+    out_dtype: str = "float32",
 ) -> Iterator[np.ndarray]:
-    """Yield (batch_size, slice_len) float32 waveform batches.
+    """Yield (batch_size, slice_len) waveform batches.
+
+    ``out_dtype``: "float32" (default) or "int16". int16 batches carry
+    ``round(x·32767)`` — lossless for 16-bit PCM sources (LJSpeech and the
+    synthetic fixtures are PCM16) and HALF the host→device bytes, which is
+    the training bottleneck on slow interconnects (the axon tunnel moves
+    ~23 MB/s: a 16×65536 f32 batch costs ~220 ms on the wire vs ~130 ms as
+    int16 — BASELINE.md). The jitted train steps normalize int16 back to
+    float on device (``train.gan.as_waveform``).
 
     Training mode (``repeat=True, shuffle=True``): infinite stream of random
     crops (random file, random offset). Eval mode (``repeat=False,
@@ -151,6 +160,9 @@ def decode_extract_and_batch(
                 "scripts/prepare_dataset.py"
             )
 
+    if out_dtype not in ("float32", "int16"):
+        raise ValueError(f"out_dtype must be float32 or int16, got {out_dtype!r}")
+
     def decode_one(args) -> np.ndarray:
         fp, start = args
         x = audioio.decode_audio_slice(fp, start, slice_len)
@@ -158,6 +170,10 @@ def decode_extract_and_batch(
             peak = np.abs(x).max()
             if peak > 0:
                 x = x * (0.95 / peak)
+        if out_dtype == "int16":
+            # ×32768 mirrors the decoder's /32768: PCM16 samples round-trip
+            # to their exact original integer values.
+            return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
         return x
 
     def gen_indices() -> Iterable[tuple[str, int]]:

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--h2d_dtype", choices=["int16", "float32"],
+                   default="int16",
+                   help="wire dtype for train batches; int16 halves "
+                        "host-to-device bytes (lossless for PCM16 sources) "
+                        "and the step normalizes on device")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN at its "
                         "producing op; slow — debugging only)")
@@ -105,7 +110,7 @@ def train(args) -> None:
     slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed,
-        sample_rate=DEFAULT_PARAMS.sample_rate,
+        sample_rate=DEFAULT_PARAMS.sample_rate, out_dtype=args.h2d_dtype,
     )
     # Host decode + H2D transfer overlap device compute (double-buffered).
     from jax.sharding import NamedSharding, PartitionSpec as Pspec

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--h2d_dtype", choices=["int16", "float32"],
+                   default="int16",
+                   help="wire dtype for train batches (int16 halves H2D "
+                        "bytes; normalized on device)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN at its "
                         "producing op; slow — debugging only)")
@@ -107,7 +111,7 @@ def train(args) -> None:
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size * cfg.n_critic,
         slice_len=slice_len, seed=args.seed,
-        sample_rate=DEFAULT_PARAMS.sample_rate,
+        sample_rate=DEFAULT_PARAMS.sample_rate, out_dtype=args.h2d_dtype,
     )
     stacked = (
         b.reshape(cfg.n_critic, args.batch_size, slice_len) for b in it

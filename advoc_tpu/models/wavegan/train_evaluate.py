@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conditional infer: wav to re-vocode or .npy mels")
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--h2d_dtype", choices=["int16", "float32"],
+                   default="int16",
+                   help="wire dtype for train batches (int16 halves H2D "
+                        "bytes; normalized on device)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN at its "
                         "producing op; slow — debugging only)")
@@ -124,6 +128,7 @@ def train(args) -> None:
         it = loader.decode_extract_and_batch(
             fps, batch_size=args.batch_size, slice_len=cfg.slice_len,
             seed=args.seed, sample_rate=DEFAULT_PARAMS.sample_rate,
+            out_dtype=args.h2d_dtype,
         )
         it = loader.device_prefetch(
             it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
@@ -144,7 +149,7 @@ def train(args) -> None:
 
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size * cfg.n_critic,
-        slice_len=cfg.slice_len, seed=args.seed,
+        slice_len=cfg.slice_len, seed=args.seed, out_dtype=args.h2d_dtype,
     )
     # Reshape each (n_critic*B, T) batch to (n_critic, B, T) for the scan.
     stacked = (

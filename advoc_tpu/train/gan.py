@@ -100,6 +100,21 @@ def gradient_penalty(
 # ---------------------------------------------------------------------------
 
 
+def as_waveform(batch: Array) -> Array:
+    """Normalize a loader batch to float32 waveform on device.
+
+    int16 batches (``loader.decode_extract_and_batch(out_dtype="int16")`` —
+    half the host→device bytes; the H2D transfer is the training bottleneck
+    on slow interconnects) carry round(x·32768), the inverse of the wav
+    decoder's /32768 — exact for PCM16 sources. Float batches pass through.
+    Called at the top of every jitted train/eval step so the conversion
+    happens on device, after the cheap transfer.
+    """
+    if jnp.issubdtype(batch.dtype, jnp.integer):
+        return batch.astype(jnp.float32) * (1.0 / 32768.0)
+    return batch.astype(jnp.float32)
+
+
 def featurize_advoc(
     wav: Array, n_frames: int, params: AudioParams
 ) -> tuple[Array, Array, Array]:
@@ -107,7 +122,9 @@ def featurize_advoc(
 
     All in the [0,1] normalized-dB domain. mag_norm is the real target the
     generator should recover; est_norm is the heuristic pinv estimate.
+    Accepts int16 loader batches (see :func:`as_waveform`).
     """
+    wav = as_waveform(wav)
     mag = spectral.waveform_to_magspec(wav, params)  # (B, T, F) linear
     mag = mag[:, :n_frames, :]
     mag_norm = spectral.normalize_db(
@@ -246,6 +263,7 @@ def make_wavegan_train_step(g_model, d_model, cfg):
 
     def step(gstate: TrainState, dstate: TrainState, wav: Array, rng: Array):
         assert wav.ndim == 3, "wavegan step wants (n_critic, B, T)"
+        wav = as_waveform(wav)
         rngs = jax.random.split(rng, cfg.n_critic + 1)
 
         def critic_body(ds, inp):
@@ -289,6 +307,7 @@ def make_cond_wavegan_train_step(g_model, d_model, cfg, audio_params: AudioParam
 
     def step(gstate: TrainState, dstate: TrainState, wav: Array, rng: Array):
         rng_d, rng_ps, rng_ps2 = jax.random.split(rng, 3)
+        wav = as_waveform(wav)
         mel = spectral.waveform_to_r9y9_melspec(wav, audio_params)
         mel = mel[:, : cfg.n_frames, :]
         real = wav[:, : cfg.slice_len]
@@ -344,7 +363,7 @@ def make_melspecgan_train_step(g_model, d_model, cfg, audio_params: AudioParams)
 
     def step(gstate: TrainState, dstate: TrainState, wav: Array, rng: Array):
         # wav: (n_critic, B, T) — featurized on-device to mel images.
-        mel = spectral.waveform_to_r9y9_melspec(wav, audio_params)
+        mel = spectral.waveform_to_r9y9_melspec(as_waveform(wav), audio_params)
         mel = mel[..., : cfg.n_frames, :]
         rngs = jax.random.split(rng, cfg.n_critic + 1)
 

@@ -128,6 +128,28 @@ class TestLoader:
         assert b1.dtype == np.float32
         assert not np.array_equal(b1, b2)  # random crops differ
 
+    def test_int16_wire_dtype_is_lossless_for_pcm16(self, wav_dir):
+        # int16 batches halve H2D bytes; for PCM16 sources the round trip
+        # through gan.as_waveform must reproduce the float batch exactly.
+        import jax.numpy as jnp
+
+        from advoc_tpu.train import gan
+
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        kw = dict(batch_size=4, slice_len=4096, repeat=True, seed=7)
+        bf = next(loader.decode_extract_and_batch(fps, **kw))
+        bi = next(loader.decode_extract_and_batch(fps, out_dtype="int16", **kw))
+        assert bi.dtype == np.int16
+        back = np.asarray(gan.as_waveform(jnp.asarray(bi)))
+        np.testing.assert_allclose(back, bf, atol=1e-6)
+
+    def test_bad_out_dtype_raises(self, wav_dir):
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        with pytest.raises(ValueError, match="out_dtype"):
+            loader.decode_extract_and_batch(
+                fps, batch_size=2, slice_len=1024, out_dtype="int8"
+            )
+
     def test_eval_pass_is_finite_and_sequential(self, wav_dir):
         fps = sorted(str(p) for p in wav_dir.iterdir())
         it = loader.decode_extract_and_batch(
