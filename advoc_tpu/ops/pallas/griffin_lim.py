@@ -177,7 +177,6 @@ def _gl_kernel(
 
     f_pad = mag_ref.shape[-1]
     all_f = slice(0, f_pad)
-    all_n = slice(0, n_fft)
 
     # VMEM-stack discipline: the f32 DFT maps are 10.5 MB of the ~16 MB
     # scoped budget, so the loop body must avoid large live temporaries.
