@@ -124,7 +124,8 @@ def decode_extract_and_batch(
     """Yield (batch_size, slice_len) waveform batches.
 
     ``out_dtype``: "float32" (default) or "int16". int16 batches carry
-    ``round(x·32767)`` — lossless for 16-bit PCM sources (LJSpeech and the
+    ``round(x·32768)`` (the exact inverse of the wav decoder's /32768 and of
+    ``train.gan.as_waveform``) — lossless for 16-bit PCM sources (LJSpeech and the
     synthetic fixtures are PCM16) and HALF the host→device bytes, which is
     the training bottleneck on slow interconnects (the axon tunnel moves
     ~23 MB/s: a 16×65536 f32 batch costs ~220 ms on the wire vs ~130 ms as

@@ -105,24 +105,27 @@ class Vocoder:
 
     # VMEM budget for the fused G-L kernel: with bf16-stored DFT maps the
     # per-program footprint at T=256 is ~11 MB, safely under the 16 MB
-    # scoped-VMEM limit; T=512 needs ~19 MB and fails to compile. 256 is
-    # also exactly the production chunk size, so every chunk-aligned bucket
-    # of length 256 rides the kernel and longer buckets use the XLA scan.
-    _PALLAS_MAX_FRAMES = 256
+    # scoped-VMEM limit (T=512 would need ~19 MB). Longer utterances ride
+    # the time-tiled kernel (ops.pallas.griffin_lim_pallas_tiled — one
+    # 256-frame tile + halos per VMEM residency), which needs T to be a
+    # multiple of the tile; Vocoder buckets lengths to multiples of
+    # chunk_frames, so every bucket ≥256 that is chunk-aligned qualifies.
+    _PALLAS_TILE_FRAMES = 256
 
     def _use_pallas(self, t_frames: int) -> bool:
         if self.phase_impl == "xla" or self.phase_method == "lws_exact":
             return False
+        cap = self._PALLAS_TILE_FRAMES
         eligible = (
             self._on_tpu
-            and t_frames <= self._PALLAS_MAX_FRAMES
+            and (t_frames <= cap or t_frames % cap == 0)
             and self.params.n_fft % self.params.hop_length == 0
             and self.params.n_fft // self.params.hop_length == 4
         )
         if self.phase_impl == "pallas" and not eligible:
             raise ValueError(
-                f"phase_impl='pallas' needs a TPU backend and ≤"
-                f"{self._PALLAS_MAX_FRAMES} frames (got {t_frames})"
+                f"phase_impl='pallas' needs a TPU backend and ≤{cap} frames "
+                f"or a multiple of {cap} (got {t_frames})"
             )
         return eligible
 
@@ -177,16 +180,19 @@ class Vocoder:
                 # At DEFAULT precision the Pallas loop uses split bf16
                 # (hi, lo) DFT maps — quality within 6e-4 mel L1 of the XLA
                 # loop at 1.4× its speed (see spectral.griffin_lim).
-                # drop_nyquist: the Nyquist bin here is the heuristic
-                # estimate passed through the generator unchanged, and the
-                # mel basis has no support there (fmax 7600 < 11025), so it
-                # is the ~silence amplitude floor; running the loop on
-                # exactly 512 bins is 20% less MXU work (640→512 lanes).
+                # drop_nyquist: when the mel basis has no support at Nyquist
+                # (fmax < sample_rate/2 — true for DEFAULT_PARAMS: 7600 <
+                # 11025), the Nyquist bin is the heuristic estimate passed
+                # through the generator unchanged, i.e. the ~silence
+                # amplitude floor; running the loop on exactly 512 bins is
+                # 20% less MXU work (640→512 lanes). Gated on the params so
+                # custom AudioParams with full-band fmax keep their real
+                # Nyquist energy (ADVICE r2 #1).
                 return spectral.griffin_lim(
                     mag, length, n_iters=self.gl_iters,
                     momentum=self.momentum, params=p,
                     precision=self.gl_precision, fft_impl="pallas",
-                    drop_nyquist=True,
+                    drop_nyquist=(p.fmax < 0.5 * p.sample_rate),
                 )
             return spectral.griffin_lim(
                 mag, length, n_iters=self.gl_iters, momentum=self.momentum,

@@ -118,10 +118,13 @@ def train(args) -> None:
     it = loader.device_prefetch(
         it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
     )
+    import dataclasses
+
     harness.train_loop(
         dp_step, gstate, dstate, it, args.train_dir,
         max_steps=args.max_steps, ckpt_every=args.ckpt_every,
         log_every=args.log_every, seed=args.seed,
+        config=dataclasses.asdict(cfg),
     )
 
 

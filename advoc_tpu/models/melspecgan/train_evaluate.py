@@ -7,6 +7,8 @@ paper's melspecgan+advoc unconditional-speech experiment.
 
 from __future__ import annotations
 
+import dataclasses
+
 import argparse
 import pathlib
 
@@ -125,6 +127,7 @@ def train(args) -> None:
         dp_step, gstate, dstate, stacked, args.train_dir,
         max_steps=args.max_steps, ckpt_every=args.ckpt_every,
         log_every=args.log_every, seed=args.seed,
+        config=dataclasses.asdict(cfg),
     )
 
 

@@ -10,6 +10,8 @@ infer vocodes --infer_input (wav or .npy mels) instead of sampling z.
 
 from __future__ import annotations
 
+import dataclasses
+
 import argparse
 import pathlib
 
@@ -137,6 +139,7 @@ def train(args) -> None:
             dp_step, gstate, dstate, it, args.train_dir,
             max_steps=args.max_steps, ckpt_every=args.ckpt_every,
             log_every=args.log_every, seed=args.seed,
+            config=dataclasses.asdict(cfg),
         )
         return
 
@@ -162,6 +165,7 @@ def train(args) -> None:
         dp_step, gstate, dstate, stacked, args.train_dir,
         max_steps=args.max_steps, ckpt_every=args.ckpt_every,
         log_every=args.log_every, seed=args.seed,
+        config=dataclasses.asdict(cfg),
     )
 
 

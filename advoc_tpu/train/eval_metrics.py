@@ -91,9 +91,11 @@ def stress_panel(
         mel = spectral.waveform_to_r9y9_melspec(wav, params)
         gen = jnp.asarray(vocoder(mel))[: wav.shape[0]]
         metrics = {k: float(v) for k, v in panel_fn(wav, gen).items()}
+        # snr_db is exempt from the finite check only on the silence class
+        # (zero signal energy → −∞ is legitimate there, nowhere else).
         bad = [
             k for k, v in metrics.items()
-            if k != "snr_db" and not np.isfinite(v)
+            if not (k == "snr_db" and kind == "silence") and not np.isfinite(v)
         ]
         if bad:
             raise FloatingPointError(

@@ -8,6 +8,8 @@ periodic stdout step logs, graceful stop at max_steps.
 
 from __future__ import annotations
 
+import json
+import pathlib
 import time
 from typing import Callable, Iterator
 
@@ -16,6 +18,39 @@ import numpy as np
 
 from advoc_tpu.train import metrics as metrics_lib
 from advoc_tpu.train.checkpoint import CheckpointManager
+
+
+def check_run_config(train_dir: str, config: dict) -> None:
+    """Record ``config`` as ``train_dir/config.json``; on resume, raise a
+    clear error if it differs from the recorded one.
+
+    Model-config defaults can change across versions (e.g. the r2 migration
+    freq_pack 1→2 / head_kernel 4→1 changed head parameter shapes), which
+    would otherwise surface as an opaque Orbax template-mismatch error when
+    restoring an old run under new defaults (ADVICE r2 #2). Keys are
+    compared on the intersection so adding new config fields stays
+    backward-compatible.
+    """
+    path = pathlib.Path(train_dir) / "config.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.exists():
+        recorded = json.loads(path.read_text())
+        diff = {
+            k: (recorded[k], config[k])
+            for k in recorded.keys() & config.keys()
+            if recorded[k] != config[k]
+        }
+        if diff:
+            raise ValueError(
+                f"run config mismatch in {train_dir}: this run was trained "
+                f"with different model hyperparameters "
+                f"(recorded → current): {diff}. Pass matching "
+                f"--model_overrides to resume it, or use a fresh train_dir. "
+                f"(Config defaults changed in r2: freq_pack 1→2, "
+                f"head_kernel 4→1 — see README.)"
+            )
+    else:
+        path.write_text(json.dumps(config, indent=2, sort_keys=True))
 
 
 def train_loop(
@@ -31,6 +66,7 @@ def train_loop(
     seed: int = 0,
     hooks: list[Callable] | None = None,
     nan_check_every: int = 200,
+    config: dict | None = None,
 ):
     """Run the alternating-GAN loop. step_fn(gstate, dstate, batch, rng).
 
@@ -42,7 +78,14 @@ def train_loop(
     loop saves a ``<step>-diverged`` checkpoint and raises — GAN divergence
     should kill the run loudly, not silently train garbage. Set to 0 to
     disable. Returns (gstate, dstate, final_step).
+
+    ``config``: optional dict of model hyperparameters, recorded as
+    ``train_dir/config.json`` and verified on resume (clear error instead of
+    an Orbax template mismatch when defaults drift — see
+    :func:`check_run_config`).
     """
+    if config is not None:
+        check_run_config(train_dir, config)
     mgr = CheckpointManager(train_dir, max_to_keep=5)
     bundle = {"g": gstate, "d": dstate}
     bundle, start = mgr.restore_or_init(bundle)

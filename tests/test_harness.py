@@ -70,3 +70,33 @@ class TestTrainLoop:
         mgr = CheckpointManager(tmp_path)
         assert mgr.latest_step() == 1  # diverged checkpoint saved
         mgr.close()
+
+
+class TestRunConfig:
+    """ADVICE r2 #2: config drift must fail loudly, not as a template error."""
+
+    def test_records_and_accepts_same_config(self, tmp_path):
+        cfg = {"width": 64, "freq_pack": 2}
+        harness.check_run_config(str(tmp_path), cfg)
+        assert (tmp_path / "config.json").exists()
+        harness.check_run_config(str(tmp_path), dict(cfg))  # no raise
+
+    def test_mismatch_raises_clear_error(self, tmp_path):
+        harness.check_run_config(str(tmp_path), {"freq_pack": 1, "head_kernel": 4})
+        with pytest.raises(ValueError, match="freq_pack"):
+            harness.check_run_config(str(tmp_path), {"freq_pack": 2, "head_kernel": 4})
+
+    def test_new_keys_are_backward_compatible(self, tmp_path):
+        harness.check_run_config(str(tmp_path), {"width": 64})
+        harness.check_run_config(str(tmp_path), {"width": 64, "new_knob": 7})
+
+    def test_train_loop_records_config(self, tmp_path):
+        g, d = _stub_states()
+        harness.train_loop(
+            _ok_step, g, d, _batches(2), str(tmp_path), max_steps=2,
+            ckpt_every=10, log_every=100, nan_check_every=0,
+            config={"width": 64},
+        )
+        import json
+
+        assert json.loads((tmp_path / "config.json").read_text()) == {"width": 64}

@@ -122,3 +122,56 @@ class TestGriffinLimKernel:
         # interpret mode executes dots in f32 regardless of precision, so
         # the only difference is map storage — must be within 2e-3.
         assert abs(l1s - l1f) < 2e-3, (l1s, l1f)
+
+
+class TestTiledGriffinLim:
+    """Time-tiled kernel (r3): lifts the 256-frame VMEM cap.
+
+    With 3·iters_per_round ≤ halo the tile centers compute identical math to
+    the whole-utterance kernel, so the tiled path must match it bit-for-bit
+    (interpret mode executes both in plain f32)."""
+
+    def test_matches_single_tile_kernel_exactly(self):
+        from advoc_tpu.ops.pallas.griffin_lim import griffin_lim_pallas_tiled
+        import jax
+
+        _, mag = _mag(b=1, t=512, seed=8)
+        yt = griffin_lim_pallas_tiled(
+            mag, n_iters=6, momentum=0.99, params=P, interpret=True,
+            loop_dtype="float32", precision=jax.lax.Precision.HIGHEST,
+            tile=256, halo=16, iters_per_round=3,
+        )
+        ys = griffin_lim_pallas(
+            mag, n_iters=6, momentum=0.99, params=P, interpret=True,
+            loop_dtype="float32", precision=jax.lax.Precision.HIGHEST,
+        )
+        np.testing.assert_array_equal(np.asarray(yt), np.asarray(ys))
+
+    def test_dispatch_above_single_tile_cap(self):
+        """griffin_lim_pallas itself routes T>256 to the tiled driver."""
+        from advoc_tpu.ops.pallas import griffin_lim as glmod
+
+        _, mag = _mag(b=1, t=512, seed=9)
+        y = glmod.griffin_lim_pallas(
+            mag[..., :-1], n_iters=2, momentum=0.99, params=P, interpret=True)
+        assert y.shape == (1, 512 * P.hop_length)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_non_multiple_raises(self):
+        import pytest
+        from advoc_tpu.ops.pallas.griffin_lim import griffin_lim_pallas_tiled
+
+        _, mag = _mag(b=1, t=320, seed=10)
+        with pytest.raises(ValueError, match="T % 256"):
+            griffin_lim_pallas_tiled(mag, n_iters=2, params=P, interpret=True)
+
+    def test_halo_guard(self):
+        import pytest
+        from advoc_tpu.ops.pallas.griffin_lim import griffin_lim_pallas_tiled
+
+        _, mag = _mag(b=1, t=512, seed=11)
+        with pytest.raises(AssertionError, match="halo"):
+            griffin_lim_pallas_tiled(
+                mag, n_iters=30, params=P, interpret=True,
+                halo=8, iters_per_round=10,
+            )
