@@ -110,7 +110,8 @@ def train_loop(
             host = metrics_lib.to_host(m)
             bad = {k: v for k, v in host.items() if not np.isfinite(v)}
             if bad:
-                mgr.save(step, {"g": gstate, "d": dstate}, force=True)
+                mgr.save(step, {"g": gstate, "d": dstate}, force=True,
+                         wait=True)
                 mgr.close()
                 raise FloatingPointError(
                     f"non-finite training metrics at step {step}: {bad} "
@@ -138,7 +139,7 @@ def train_loop(
 
     if step > start and step % ckpt_every != 0:
         mgr.save(step, {"g": gstate, "d": dstate}, force=True)
-    mgr.close()
+    mgr.close()  # waits for any in-flight async save before returning
     close = getattr(data_it, "close", None)
     if close is not None:  # release the loader's producer thread promptly
         close()

