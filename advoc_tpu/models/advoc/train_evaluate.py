@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel device count (default: all)")
     p.add_argument("--eval_once", action="store_true")
+    p.add_argument("--eval_timeout_s", type=float, default=3600.0,
+                   help="eval mode: exit after this long without a new "
+                        "checkpoint (concurrent train+eval runs use a small "
+                        "value so eval ends shortly after training does)")
     p.add_argument("--infer_input", default=None,
                    help=".npy of (T,80) or (B,T,80) mels, or a wav to "
                         "re-vocode; default: synthetic fixture")
@@ -189,6 +193,7 @@ def evaluate(args) -> None:
         data_fn,
         args.train_dir,
         once=args.eval_once,
+        timeout_s=args.eval_timeout_s,
         audio_fn=audio_fn,
         image_fn=image_fn,
     )

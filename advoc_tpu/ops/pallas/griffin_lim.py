@@ -367,6 +367,7 @@ def griffin_lim_pallas(
     interpret: bool = False,
     loop_dtype: str = "float32",
     precision=None,
+    init_phase=None,
 ) -> jax.Array:
     """(B, T, n_freq) magnitudes → (B, T*hop) waveform; whole loop in VMEM.
 
@@ -402,12 +403,18 @@ def griffin_lim_pallas(
     # estimate through at Nyquist) drop it to land exactly on a lane
     # multiple — 640→512 lanes is 20% less MXU work for the whole loop.
     assert F in (params.n_freq, params.n_freq - 1) and n_fft // hop == 4
-    if t_frames > MAX_SINGLE_TILE_FRAMES:
+    if t_frames > MAX_SINGLE_TILE_FRAMES or init_phase is not None:
         # Long utterances ride the time-tiled kernel (same modes/quality;
         # VMEM holds one tile + halos instead of the whole utterance).
+        # Custom phase inits also route there: its carries are kernel
+        # INPUTS, so a non-zero-phase start costs nothing extra (short
+        # inputs become one no-halo tile).
         return griffin_lim_pallas_tiled(
             mag, n_iters=n_iters, momentum=momentum, params=params,
             interpret=interpret, loop_dtype=loop_dtype, precision=precision,
+            init_phase=init_phase,
+            **({"tile": t_frames, "halo": 0, "iters_per_round": n_iters}
+               if t_frames <= MAX_SINGLE_TILE_FRAMES else {}),
         )
     fwd_re, fwd_im, inv_re, inv_im, norm, n_blocks_pad = _gl_consts(
         params, t_frames, loop_dtype, n_bins=F
@@ -483,8 +490,15 @@ def griffin_lim_pallas_tiled(
     tile: int = 256,
     halo: int = 32,
     iters_per_round: int = 10,
+    init_phase=None,
 ) -> jax.Array:
     """Time-tiled fast-GL: unbounded T at single-tile kernel speed.
+
+    ``init_phase``: optional (cosφ, sinφ) arrays broadcastable to the
+    magnitude shape — e.g. :func:`advoc_tpu.ops.spectral.pghi_init_phase` —
+    seeding the loop instead of zero phase. A single tile with halo=0 and
+    iters_per_round=n_iters reproduces whole-utterance semantics for short
+    inputs with a custom init.
 
     The single-tile kernel (griffin_lim_pallas) keeps every carry in VMEM,
     which caps T at ~256 frames under the 16 MB scoped-VMEM budget — so any
@@ -521,11 +535,11 @@ def griffin_lim_pallas_tiled(
             f"tiled pallas G-L needs T % {tile} == 0 (got T={t_total}); "
             f"bucket the input (infer.Vocoder does) or use fft_impl='matmul'"
         )
-    assert 3 * iters_per_round <= halo, (
+    nt = t_total // tile
+    assert nt == 1 or 3 * iters_per_round <= halo, (
         f"halo {halo} too small for {iters_per_round} iters/round "
         f"(needs ≥ {3 * iters_per_round} for exact tile centers)"
     )
-    nt = t_total // tile
     text = tile + 2 * halo
     f_pad = -(-F // 128) * 128
 
@@ -596,11 +610,21 @@ def griffin_lim_pallas_tiled(
         )
         return tuple(centers(x) for x in (re_t, im_t, pre_t, pim_t))
 
-    # Zero-phase init; pre/pim = (mag, 0) matches the single-tile kernel
-    # (they are overwritten before first use because round 1 skips momentum
-    # on its first iteration).
-    zeros = jnp.zeros_like(magp)
-    carries = (magp, zeros, magp, zeros)
+    # pre/pim start equal to re/im: they are overwritten before first use
+    # because round 1 skips momentum on its first iteration (matches the
+    # single-tile kernel's zero-phase start semantics).
+    if init_phase is None:
+        zeros = jnp.zeros_like(magp)
+        carries = (magp, zeros, magp, zeros)
+    else:
+        cos0, sin0 = init_phase
+        cos0 = jnp.broadcast_to(cos0, mag.shape).astype(jnp.float32)
+        sin0 = jnp.broadcast_to(sin0, mag.shape).astype(jnp.float32)
+        re0 = jnp.pad(mag.astype(jnp.float32) * cos0,
+                      ((0, 0), (0, 0), (0, f_pad - F)))
+        im0 = jnp.pad(mag.astype(jnp.float32) * sin0,
+                      ((0, 0), (0, 0), (0, f_pad - F)))
+        carries = (re0, im0, re0, im0)
     remaining, first = n_iters, True
     while remaining > 0:
         k = min(iters_per_round, remaining)

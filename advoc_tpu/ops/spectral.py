@@ -313,8 +313,10 @@ def griffin_lim(
     mag = mag.astype(jnp.float32)
     n_frames = mag.shape[-2]
 
-    if (init_phase is not None or return_final_phase) and fft_impl != "matmul":
-        raise ValueError("init_phase/return_final_phase need fft_impl='matmul'")
+    if init_phase is not None and fft_impl not in ("matmul", "pallas"):
+        raise ValueError("init_phase needs fft_impl='matmul' or 'pallas'")
+    if return_final_phase and fft_impl != "matmul":
+        raise ValueError("return_final_phase needs fft_impl='matmul'")
     if drop_nyquist and fft_impl != "pallas":
         raise ValueError("drop_nyquist is a pallas-path optimization")
 
@@ -368,14 +370,18 @@ def griffin_lim(
         #   griffin_lim_pallas(loop_dtype="bfloat16") to reproduce).
         # HIGHEST → f32 maps + 3-pass MXU: f32-faithful, 82 ms (slower than
         #   the XLA loop — Mosaic's 3-pass dot is ~5.6× its single-pass).
+        if init_phase is not None and drop_nyquist:
+            cos0, sin0 = init_phase
+            init_phase = (cos0[..., : params.n_freq - 1],
+                          sin0[..., : params.n_freq - 1])
         if precision is None or precision == jax.lax.Precision.DEFAULT:
             return griffin_lim_pallas(
                 mag, n_iters=n_iters, momentum=momentum, params=params,
-                loop_dtype="split_synth",
+                loop_dtype="split_synth", init_phase=init_phase,
             )
         return griffin_lim_pallas(
             mag, n_iters=n_iters, momentum=momentum, params=params,
-            loop_dtype="float32", precision=precision,
+            loop_dtype="float32", precision=precision, init_phase=init_phase,
         )
 
     if fft_impl != "matmul":
@@ -437,6 +443,44 @@ def griffin_lim(
             (im * inv_mag).reshape(shape),
         )
     return y
+
+
+def pghi_init_phase(
+    mag: Array,
+    params: AudioParams = DEFAULT_PARAMS,
+    grad_coef: float = 0.0,
+) -> tuple[Array, Array]:
+    """Magnitude-only phase estimate to seed Griffin-Lim (PGHI-style).
+
+    Integrates an estimated per-bin phase time-gradient over frames
+    (``lax.cumsum`` — jit-friendly; no heap):
+
+        tgrad[t, f] = 2π·hop·f/n_fft  +  grad_coef · ∂log|M|/∂f
+        φ[t, f]     = Σ_{τ≤t} tgrad[τ, f]
+
+    The first term advances every bin at its center frequency (exact for
+    steady sinusoids — the streaming path's RTISI trick generalized to a
+    cold start); the second is the phase-gradient correction of
+    Gaussian-window STFT theory (Průša & Søndergaard's PGHI), whose proper
+    coefficient depends on the window — here it is a *tuned* scalar
+    (grad_coef=0 disables it). Measured A/B over grad_coef × iteration
+    count lives in BASELINE.md; this is an initialization heuristic, so its
+    only contract is the measured quality, not bit semantics.
+
+    (..., T, F) magnitudes → (cosφ, sinφ) of the same shape.
+    """
+    t = mag.shape[-2]
+    f = mag.shape[-1]
+    freqs = jnp.arange(f, dtype=jnp.float32)
+    base = 2.0 * np.pi * params.hop_length * freqs / params.n_fft  # (F,)
+    tgrad = jnp.broadcast_to(base, mag.shape)
+    if grad_coef:
+        log_m = jnp.log(jnp.maximum(mag, 1e-10))
+        # central difference over the frequency axis (edges one-sided)
+        d_f = jnp.gradient(log_m, axis=-1)
+        tgrad = tgrad + grad_coef * d_f
+    phase = jnp.cumsum(tgrad, axis=-2)
+    return jnp.cos(phase), jnp.sin(phase)
 
 
 def magspec_to_waveform_griffin_lim(

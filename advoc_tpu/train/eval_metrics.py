@@ -62,6 +62,37 @@ def vocoder_eval(
     }
 
 
+def melspec_moment_panel(real: Array, fake: Array) -> dict[str, Array]:
+    """Distribution metrics for generated mel spectrograms vs a real batch.
+
+    The r2 melspecgan eval tracked only the two *global* moments — a
+    mode-collapsed generator emitting one plausible mel forever could score
+    perfectly (VERDICT r2 weak #7). This panel resolves the failure modes:
+
+    * ``eval_band_{mean,std}_l1`` — per-mel-band first/second moments (mean
+      over batch×time per band, L1 against real): catches generators with
+      the right global statistics but the wrong spectral envelope.
+    * ``eval_diversity_gap`` — across-sample std (per time×band position,
+      averaged), fake vs real: a collapsed generator has ~zero
+      across-sample variation however good each sample looks.
+    * ``eval_{mean,std}_gap`` — the original global moments, kept for
+      continuity of existing TB runs.
+
+    real/fake: (B, T, M) normalized mels.
+    """
+    rm, fm = real.mean(axis=(0, 1)), fake.mean(axis=(0, 1))  # (M,)
+    rs, fs = real.std(axis=(0, 1)), fake.std(axis=(0, 1))
+    div_r = real.std(axis=0).mean()
+    div_f = fake.std(axis=0).mean()
+    return {
+        "eval_mean_gap": jnp.abs(fake.mean() - real.mean()),
+        "eval_std_gap": jnp.abs(fake.std() - real.std()),
+        "eval_band_mean_l1": jnp.mean(jnp.abs(fm - rm)),
+        "eval_band_std_l1": jnp.mean(jnp.abs(fs - rs)),
+        "eval_diversity_gap": jnp.abs(div_f - div_r),
+    }
+
+
 def stress_panel(
     vocoder,
     kinds: tuple[str, ...] | None = None,

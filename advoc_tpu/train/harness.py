@@ -155,6 +155,7 @@ def eval_loop(
     timeout_s: float = 3600.0,
     audio_fn: Callable | None = None,
     image_fn: Callable | None = None,
+    eval_takes_bundle: bool = False,
 ):
     """Poll train_dir for new checkpoints; evaluate each (SURVEY.md §3.2).
 
@@ -163,6 +164,11 @@ def eval_loop(
     returns (tag, waveform, sample_rate) tuples to dump as audio summaries;
     image_fn(gparams) returns (tag, HxW image in [0,1]) tuples (the
     reference's spectrogram image summaries, SURVEY.md §5).
+
+    ``eval_takes_bundle``: call ``eval_fn(bundle, batch)`` with the full
+    restored ``{"g": gstate, "d": dstate}`` bundle instead of generator
+    params only — for evals that score with the trained discriminator
+    (e.g. the melspecgan held-out-D metric).
     """
     mgr = CheckpointManager(train_dir)
     writer = metrics_lib.SummaryWriter(f"{train_dir}/tb_eval")
@@ -175,10 +181,11 @@ def eval_loop(
         seen = step
         bundle = mgr.restore(step, template=template)
         gparams = bundle["g"].params
+        eval_arg = bundle if eval_takes_bundle else gparams
         sums: dict[str, float] = {}
         n = 0
         for batch in data_fn():
-            m = metrics_lib.to_host(eval_fn(gparams, batch))
+            m = metrics_lib.to_host(eval_fn(eval_arg, batch))
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1
