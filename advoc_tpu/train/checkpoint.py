@@ -94,9 +94,16 @@ class CheckpointManager:
     def poll(self, last_seen: int | None = None, interval_s: float = 5.0,
              timeout_s: float | None = None) -> Iterator[int]:
         """Yield new checkpoint steps as they appear (the eval loop's driver,
-        SURVEY.md §3.2). Stops after ``timeout_s`` without a new checkpoint."""
+        SURVEY.md §3.2). Stops after ``timeout_s`` without a new checkpoint.
+
+        Re-reads the directory each iteration: orbax CheckpointManager
+        caches its step listing, so without ``reload()`` a poller whose
+        manager was constructed before the training process wrote its first
+        checkpoint would NEVER see one — the concurrent train+eval workflow
+        silently evaluated nothing (caught by the r3 corpus rehearsal)."""
         waited = 0.0
         while True:
+            self._mgr.reload()
             step = self.latest_step()
             if step is not None and (last_seen is None or step > last_seen):
                 last_seen = step

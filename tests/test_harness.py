@@ -185,3 +185,49 @@ class TestEvalLoop:
             lambda: _batches(1), str(tmp_path), once=False, timeout_s=0.0,
         )
         assert seen == 2
+
+
+class TestCrossProcessPoll:
+    """r3 corpus-rehearsal regression: a poller created BEFORE training
+    writes its first checkpoint must still see checkpoints written by a
+    different manager (orbax caches the step listing; poll() must reload)."""
+
+    def test_poll_sees_ckpts_written_after_construction(self, tmp_path):
+        g, d = _stub_states()
+        poller = CheckpointManager(tmp_path)  # empty dir at construction
+        assert poller.latest_step() is None
+        writer = CheckpointManager(tmp_path)
+        writer.save(3, {"g": g, "d": d}, wait=True)
+        writer.close()
+        steps = list(poller.poll(last_seen=None, interval_s=0.01,
+                                 timeout_s=0.0))
+        assert steps == [3], steps
+        poller.close()
+
+    def test_eval_loop_started_before_first_ckpt(self, tmp_path, monkeypatch):
+        """Full eval_loop flavor of the same scenario: start the loop on an
+        empty train_dir in a thread, then write a checkpoint; the loop must
+        evaluate it."""
+        import threading
+        import time as _t
+
+        g, d = _stub_states()
+        seen = []
+
+        def eval_fn(gparams, batch):
+            seen.append(1)
+            return {"m": jnp.float32(1.0)}
+
+        t = threading.Thread(
+            target=lambda: harness.eval_loop(
+                eval_fn, _stub_states, lambda: _batches(1), str(tmp_path),
+                once=False, timeout_s=8.0,
+            )
+        )
+        t.start()
+        _t.sleep(1.0)  # let the loop construct its manager on the empty dir
+        writer = CheckpointManager(tmp_path)
+        writer.save(7, {"g": g, "d": d}, wait=True)
+        writer.close()
+        t.join(timeout=90)
+        assert not t.is_alive() and seen, (t.is_alive(), seen)
