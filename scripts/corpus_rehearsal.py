@@ -128,12 +128,21 @@ def main() -> None:
     )
     eval_p = None
     if not args.skip_eval:
+        # The concurrent eval poller runs on CPU: a TPU chip is held
+        # EXCLUSIVELY by one process (a second process blocks at device
+        # attach until the first exits — measured on this host), so the
+        # single-chip train+eval workflow puts eval on the host. On a
+        # multi-chip machine, pin eval to its own chip instead
+        # (TPU_VISIBLE_DEVICES) and drop these env overrides.
+        eval_env = dict(env)
+        eval_env["JAX_PLATFORMS"] = "cpu"
+        eval_env["PALLAS_AXON_POOL_IPS"] = ""
         eval_p = subprocess.Popen(
             cli + ["--mode", "eval", "--train_dir", str(train_dir),
                    "--data_dir", str(eval_list), "--batch_size", "16",
-                   "--eval_timeout_s", "180"],
+                   "--eval_timeout_s", "240"],
             stdout=open(train_dir / "eval.log", "w"),
-            stderr=subprocess.STDOUT, env=env,
+            stderr=subprocess.STDOUT, env=eval_env,
         )
     rc = train_p.wait()
     train_s = time.perf_counter() - t_train0
