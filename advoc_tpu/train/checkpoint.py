@@ -51,6 +51,14 @@ class CheckpointManager:
         when the manager is synchronous). Async in-flight saves are finished
         by the next save, :meth:`wait_until_finished`, or :meth:`close`.
         """
+        if self._use_async:
+            # Finalize any in-flight save BEFORE starting the next one: the
+            # keep-k garbage collector runs at save time and racing it
+            # against a mid-rename async finalize throws FileNotFoundError
+            # from a background thread (seen under test-suite load). The
+            # overlap benefit is unchanged — training steps between saves
+            # still run while the previous write completes.
+            self._mgr.wait_until_finished()
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

@@ -133,6 +133,10 @@ class TestCheckpoint:
         mgr = CheckpointManager(tmp_path / "k", max_to_keep=2)
         for s in [1, 2, 3]:
             mgr.save(s, {"x": np.arange(4.0)})
+        # Async saves are only guaranteed visible to (re-reading) pollers
+        # once finalized; a real eval poller tolerates the lag, but this
+        # test asserts exact yields, so finalize first.
+        mgr.wait_until_finished()
         assert mgr.latest_step() == 3
         steps = list(mgr.poll(last_seen=None, interval_s=0.01, timeout_s=0.05))
         assert steps == [3]
