@@ -53,9 +53,11 @@ class AdvocConfig:
     disc_layers: int = 4
     norm_groups: int = 8
     dtype: str = "bfloat16"      # compute dtype for conv stacks
-    # Decoder upsampling: "convtranspose" (k4/s2, fastest — see module
-    # docstring for measurements), "pixelshuffle" (3×3 conv + depth-to-
-    # space), or "resize" (nearest ×2 + 4×4 conv; slowest).
+    # Decoder upsampling: "subpixel" (the convtranspose map exactly,
+    # re-parametrized as a k2/s1 conv with 4F channels at half resolution +
+    # parity interleave — iso-FLOP but MXU-lane-dense at the fine levels;
+    # see _Up), "convtranspose" (k4/s2), "pixelshuffle" (3×3 conv +
+    # depth-to-space), or "resize" (nearest ×2 + 4×4 conv; slowest).
     upsample: str = "convtranspose"
     # fast_head: predict the residual's 2×2 sub-pixels at half resolution and
     # depth-to-space to full res — removes the two full-resolution convs.
@@ -168,6 +170,38 @@ class _Up(nn.Module):
                 dtype=self.cfg.compute_dtype,
                 name="conv",
             )(x)
+        elif self.cfg.upsample == "subpixel":
+            # EXACTLY the convtranspose k4/s2 linear map, re-parametrized
+            # for the MXU: each output-pixel parity class (p,q) sees a 2×2
+            # input window, so the whole transpose is ONE k2/s1 conv with
+            # 4F output channels at *half* resolution plus a parity-shifted
+            # interleave (kernel map K[u,v,ci,(p,q,c)] = w_t[2u+p, 2v+q,
+            # ci, c]; equality asserted to float precision in
+            # tests/test_models.py). Iso-FLOP with convtranspose, but the
+            # finest level's matmul runs with 4F lanes instead of F — the
+            # r3 per-stage profile showed up5 (F=64 → half the 128 lanes,
+            # 256×256 spatial) at ~19% MXU, 7.7 ms of the 17.8 ms forward.
+            f = self.features
+            z = nn.Conv(
+                4 * f,
+                kernel_size=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dtype=self.cfg.compute_dtype,
+                name="conv",
+            )(x)  # (B, H+1, W+1, 4F); rows/cols −1..H−1 of the k2 windows
+            b, hp1, wp1, _ = z.shape
+            h, w = hp1 - 1, wp1 - 1
+            z = z.reshape(b, hp1, wp1, 2, 2, f)
+            # y[2m+p, 2n+q] = z_{pq}[m − (1−p), n − (1−q)] — i.e. the p=0
+            # blocks come from window rows {m−1, m} (slice [:h]) and p=1
+            # from {m, m+1} (slice [1:]); likewise for columns.
+            ee = z[:, :h, :w, 0, 0]
+            eo = z[:, :h, 1:, 0, 1]
+            oe = z[:, 1:, :w, 1, 0]
+            oo = z[:, 1:, 1:, 1, 1]
+            top = jnp.stack([ee, eo], axis=3)  # (B, h, w, 2, F): q axis
+            bot = jnp.stack([oe, oo], axis=3)
+            x = jnp.stack([top, bot], axis=2).reshape(b, 2 * h, 2 * w, f)
         elif self.cfg.upsample == "resize":
             b, h, w, c = x.shape
             x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
@@ -195,9 +229,18 @@ class AdvocGenerator(nn.Module):
     cfg: AdvocConfig = AdvocConfig()
 
     @nn.compact
-    def __call__(self, est: Array) -> Array:
+    def __call__(self, est: Array, truncate_after: str | None = None) -> Array:
+        """``truncate_after``: profiling hook — return ``mean(x)`` right
+        after the named stage (``down0``…, ``bottleneck``, ``up0``…,
+        ``head``). Everything later is dead-code-eliminated by XLA, so
+        slope-timing successive truncations yields the *fused* incremental
+        cost of each stage (standalone per-block timings overcount by the
+        inter-block HBM traffic that fusion removes). No effect when None."""
         cfg = self.cfg
         assert est.shape[-1] == cfg.n_freq, est.shape
+
+        def cut(x, name):
+            return jnp.mean(x.astype(jnp.float32)) if name == truncate_after else None
         body, nyquist = est[..., : cfg.n_freq - 1], est[..., cfg.n_freq - 1 :]
         p = cfg.freq_pack
         n_bins = cfg.n_freq - 1
@@ -217,6 +260,8 @@ class AdvocGenerator(nn.Module):
         for i, f in enumerate(feats):
             x = _Down(f, cfg, use_norm=(i > 0), name=f"down{i}")(x)
             skips.append(x)
+            if (c := cut(x, f"down{i}")) is not None:
+                return c
 
         # Bottleneck conv keeps receptive field growing without more halving.
         x = nn.Conv(
@@ -227,12 +272,16 @@ class AdvocGenerator(nn.Module):
             name="bottleneck",
         )(x)
         x = nn.relu(x)
+        if (c := cut(x, "bottleneck")) is not None:
+            return c
 
         n_ups = len(feats) if not cfg.fast_head else len(feats) - 1
         for i, f in enumerate(list(reversed(feats))[:n_ups]):
             skip = skips[len(feats) - 1 - i]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = _Up(f, cfg, name=f"up{i}")(x)
+            if (c := cut(x, f"up{i}")) is not None:
+                return c
 
         if cfg.fast_head:
             # Half-res head: concat the finest skip, predict the residual's

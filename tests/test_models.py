@@ -59,6 +59,45 @@ class TestAdvocModels:
         out = g.apply({"params": params}, est)
         assert out.shape == (1, 64, 513)
 
+    def test_subpixel_upsample_equals_convtranspose(self):
+        """upsample="subpixel" is an exact re-parametrization of
+        convtranspose k4/s2 (model.py _Up): mapping the transpose kernel via
+        K[u,v,ci,(p,q,c)] = w[2u+p, 2v+q, ci, c] must reproduce the same
+        function to float precision — so switching modes needs no quality
+        gate (and checkpoints are mechanically convertible)."""
+        import dataclasses
+
+        from advoc_tpu.models.advoc.model import _Up
+
+        cin, cout = 3, 5
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6, cin))
+        cfg_ct = dataclasses.replace(TINY, upsample="convtranspose",
+                                     dtype="float32", norm_groups=1)
+        cfg_sp = dataclasses.replace(cfg_ct, upsample="subpixel")
+        up_ct, up_sp = _Up(cout, cfg_ct), _Up(cout, cfg_sp)
+        p_ct = up_ct.init(jax.random.PRNGKey(1), x)["params"]
+        w = np.asarray(p_ct["conv"]["kernel"])  # (4,4,cin,cout)
+        b = np.asarray(p_ct["conv"]["bias"])
+        K = np.zeros((2, 2, cin, 4 * cout), np.float32)
+        B4 = np.zeros((4 * cout,), np.float32)
+        for p in (0, 1):
+            for q in (0, 1):
+                blk = slice((p * 2 + q) * cout, (p * 2 + q + 1) * cout)
+                for u in (0, 1):
+                    for v in (0, 1):
+                        K[u, v, :, blk] = w[2 * u + p, 2 * v + q]
+                B4[blk] = b
+        p_sp = jax.tree.map(np.asarray, up_sp.init(jax.random.PRNGKey(2), x)["params"])
+        p_sp["conv"]["kernel"] = K
+        p_sp["conv"]["bias"] = B4
+        p_sp["norm"] = jax.tree.map(np.asarray, p_ct["norm"])
+        y_ct = up_ct.apply({"params": p_ct}, x)
+        y_sp = up_sp.apply({"params": p_sp}, x)
+        assert y_sp.shape == y_ct.shape == (2, 16, 12, cout)
+        np.testing.assert_allclose(
+            np.asarray(y_sp), np.asarray(y_ct), atol=1e-5, rtol=1e-5
+        )
+
     def test_nyquist_passthrough(self):
         g = AdvocGenerator(TINY)
         est = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 513))
