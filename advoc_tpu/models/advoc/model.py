@@ -53,10 +53,11 @@ class AdvocConfig:
     disc_layers: int = 4
     norm_groups: int = 8
     dtype: str = "bfloat16"      # compute dtype for conv stacks
-    # Decoder upsampling: "subpixel" (the convtranspose map exactly,
-    # re-parametrized as a k2/s1 conv with 4F channels at half resolution +
-    # parity interleave — iso-FLOP but MXU-lane-dense at the fine levels;
-    # see _Up), "convtranspose" (k4/s2), "pixelshuffle" (3×3 conv +
+    # Decoder upsampling: "convtranspose" (k4/s2 — fastest, see _Up),
+    # "subpixel" (the convtranspose map exactly, re-parametrized as a k2/s1
+    # conv + parity interleave; measured 3× SLOWER end-to-end — the
+    # interleave's misaligned sub-lane shuffles dominate; kept for the
+    # negative result + exact-equivalence test), "pixelshuffle" (3×3 conv +
     # depth-to-space), or "resize" (nearest ×2 + 4×4 conv; slowest).
     upsample: str = "convtranspose"
     # fast_head: predict the residual's 2×2 sub-pixels at half resolution and
@@ -177,10 +178,14 @@ class _Up(nn.Module):
             # 4F output channels at *half* resolution plus a parity-shifted
             # interleave (kernel map K[u,v,ci,(p,q,c)] = w_t[2u+p, 2v+q,
             # ci, c]; equality asserted to float precision in
-            # tests/test_models.py). Iso-FLOP with convtranspose, but the
-            # finest level's matmul runs with 4F lanes instead of F — the
-            # r3 per-stage profile showed up5 (F=64 → half the 128 lanes,
-            # 256×256 spatial) at ~19% MXU, 7.7 ms of the 17.8 ms forward.
+            # tests/test_models.py). Motivation: the r3 per-stage profile
+            # showed up5 at ~19% MXU (7.7 ms of the 17.8 ms forward), and
+            # this form runs the matmul with 4F lanes. MEASURED OUTCOME
+            # (v5e, B=64): the parity interleave's misaligned stacks cost
+            # far more than the conv saves — 53.3 ms full forward vs 17.7
+            # convtranspose; isolated up5 shape: k2 conv 6.0 ms but +24 ms
+            # of interleave (pure depth-to-space is +7 ms; every d2s
+            # variant loses to convtranspose's 9.5 ms). Keep convtranspose.
             f = self.features
             z = nn.Conv(
                 4 * f,
