@@ -157,7 +157,9 @@ def save_as_wav(
             return
     except native.NativeUnavailable:
         pass
-    pcm = (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
+    # round-to-nearest to match the native writer (wavio.cc lrintf) and the
+    # StreamingVocoder on-device int16 emit path bit-for-bit.
+    pcm = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

@@ -268,6 +268,18 @@ class StreamingVocoder:
     Streams that start/stop at different times: :meth:`reset` one stream's
     slot and start feeding a new utterance there (a freshly-reset slot
     behaves exactly like a first chunk).
+
+    Wire format (measured on the tunneled host: past ~4 streams the push
+    wall is dominated by host↔device bytes, not compute — BASELINE.md
+    multi-stream table): ``emit_dtype="int16"`` converts the emitted
+    samples to PCM16 *on device* with the exact ``save_as_wav`` convention
+    (``round(clip(x)·32767)``), halving the downlink with zero loss versus
+    the 16-bit WAV a client writes; ``mel_dtype="float16"`` halves the
+    uplink (mels are normalized-dB in [0, 1], where fp16 resolution is
+    ~2⁻¹¹). fp16 uplink is NOT sample-exact — G-L phase is chaotic under
+    tiny input perturbations — but spectral fidelity is measured unchanged
+    (mel L1 0.0586 fp16 vs 0.0596 f32 on the fixture set; quality-parity
+    test in tests/test_infer.py).
     """
 
     def __init__(
@@ -279,6 +291,8 @@ class StreamingVocoder:
         overlap_frames: int = 8,
         gl_iters: int = 16,
         n_streams: int = 1,
+        emit_dtype: str = "float32",
+        mel_dtype: str = "float32",
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -287,6 +301,12 @@ class StreamingVocoder:
         self.g_params = g_params
         self.gl_iters = gl_iters
         self.n_streams = n_streams
+        if emit_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown emit_dtype {emit_dtype!r}")
+        if mel_dtype not in ("float32", "float16"):
+            raise ValueError(f"unknown mel_dtype {mel_dtype!r}")
+        self.emit_dtype = emit_dtype
+        self.mel_dtype = np.dtype(mel_dtype)
         # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
         # only host transfer per chunk is the emitted waveform) — per-push
         # host round-trips of tail+phase were measurable over the axon
@@ -304,7 +324,7 @@ class StreamingVocoder:
         def run(g_params, mel: Array, prev_tail: Array,
                 pc: Array, ps: Array, pc1: Array, ps1: Array):
             # mel (n, chunk, M); prev_tail (n, ov); phases (n, F).
-            est = spectral.r9y9_melspec_to_magspec(mel, p)
+            est = spectral.r9y9_melspec_to_magspec(mel.astype(jnp.float32), p)
             est_norm = spectral.normalize_db(
                 spectral.amp_to_db(est, p) - p.ref_level_db, p
             )
@@ -337,6 +357,12 @@ class StreamingVocoder:
             head = wav[:, :ov_samps] * fade + prev_tail * (1.0 - fade)
             emit = jnp.concatenate([head, wav[:, ov_samps:-ov_samps]], axis=1)
             tail = wav[:, -ov_samps:]
+            if self.emit_dtype == "int16":
+                # On-device PCM16 in the save_as_wav convention: identical
+                # samples to float-emit → save_as_wav, at half the downlink.
+                emit = jnp.round(
+                    jnp.clip(emit, -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
             return (emit, tail, fc[:, -1, :], fs[:, -1, :],
                     fc[:, -2, :], fs[:, -2, :])
 
@@ -371,7 +397,9 @@ class StreamingVocoder:
         Input (chunk_frames, n_mels) → output (emit,) when ``n_streams == 1``;
         input (n_streams, chunk_frames, n_mels) → output (n_streams, emit)
         otherwise. Call :meth:`reset` between utterances."""
-        mel_chunk = jnp.asarray(mel_chunk)
+        # The uplink cast happens HOST-side so the tunnel carries the narrow
+        # dtype; `run` widens back to f32 before any math.
+        mel_chunk = jnp.asarray(np.asarray(mel_chunk, dtype=self.mel_dtype))
         squeeze = mel_chunk.ndim == 2
         if squeeze:
             assert self.n_streams == 1, (

@@ -240,6 +240,60 @@ def extended_panel(log) -> None:
         f"({bt/dt:.1f} clips/s, {bt*cfg.n_frames*P.hop_length/dt/1e6:.1f}M "
         f"audio-samples/s/chip)")
 
+    # Config 6: long-form vocoding (60 s utterance, time-tiled Pallas G-L).
+    # Fresh compile of the T=5376 fused graph is ~34 min on the axon
+    # remote-compile tunnel — rely on JAX_COMPILATION_CACHE_DIR.
+    from advoc_tpu.infer.vocoder import StreamingVocoder, Vocoder
+
+    cfg = AdvocConfig()
+    g = AdvocGenerator(cfg)
+    gparams = g.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_frames, cfg.n_freq)))["params"]
+    g_apply = lambda p, x: g.apply({"params": p}, x)
+    voc = Vocoder(g_apply, gparams, P)
+    secs = 60
+    wav60 = loader.synthetic_speech(2, secs * P.sample_rate)
+    mel60 = spectral.waveform_to_r9y9_melspec(jnp.asarray(wav60), P)
+    float(jnp.mean(voc(mel60)))  # compile + complete
+    K = 8
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(K):
+        o = voc(mel60)
+    float(jnp.mean(o))
+    dt = (time.perf_counter() - t0) / K
+    log(f"[bench:cfg6] long-form 60s utterance: {dt*1000:.1f} ms steady "
+        f"→ {secs/dt:.0f}× RT")
+
+    # Config 7: multi-stream low-latency serving (B concurrent streams per
+    # push; dispatch amortized B ways — BASELINE.md streaming section).
+    from advoc_tpu.models.advoc.model import small_config
+
+    scfg = small_config()
+    sg = AdvocGenerator(scfg)
+    sparams = sg.init(jax.random.PRNGKey(0), jnp.zeros((1, scfg.n_frames, scfg.n_freq)))["params"]
+    import numpy as np
+    for Bs in (1, 16):
+        sv = StreamingVocoder(
+            lambda p, x: sg.apply({"params": p}, x), sparams, P,
+            chunk_frames=scfg.n_frames, gl_iters=16, n_streams=Bs,
+        )
+        mel_np = np.asarray(mel60[: 20 * scfg.n_frames]).reshape(
+            20, scfg.n_frames, P.n_mels
+        )
+        def push_i(i, Bs=Bs, sv=sv, mel_np=mel_np):
+            return sv.push(np.broadcast_to(mel_np[i % 20], (Bs,) + mel_np.shape[1:]))
+        for i in range(5):
+            push_i(i)
+        t0 = time.perf_counter()
+        N = 30
+        for i in range(N):
+            push_i(5 + i)
+        lat = (time.perf_counter() - t0) / N
+        chunk_s = scfg.n_frames * P.hop_length / P.sample_rate
+        log(f"[bench:cfg7] streaming x{Bs}: {lat*1000:.2f} ms/push wall, "
+            f"{lat/Bs*1000:.3f} ms/stream ({chunk_s*1000:.0f} ms audio/chunk; "
+            f"aggregate {chunk_s*Bs/lat:.0f}× RT)")
+
     # Config 5: WaveGAN generation throughput.
     wcfg = WaveGANConfig()
     wg = WaveGANGenerator(wcfg)

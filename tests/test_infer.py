@@ -300,3 +300,64 @@ class TestMultiStreamVocoder:
         sv = StreamingVocoder(params=P, chunk_frames=64, n_streams=2)
         with pytest.raises(AssertionError):
             sv.push(np.zeros((64, P.n_mels), np.float32))
+
+
+class TestStreamingWireFormats:
+    """Narrow wire dtypes for tunneled serving (BASELINE multi-stream table):
+    int16 emit must equal the float emit run through the save_as_wav PCM16
+    conversion bit-for-bit; the fp16 mel uplink must be inaudibly close."""
+
+    def _mel(self, chunks=2):
+        from advoc_tpu.data import loader
+        from advoc_tpu.ops import spectral
+
+        wav = loader.synthetic_speech(3, 64 * chunks * P.hop_length)
+        mel = spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+        return np.asarray(mel[: 64 * chunks]).reshape(chunks, 64, P.n_mels)
+
+    def test_int16_emit_matches_float_pcm(self):
+        mels = self._mel()
+        f = StreamingVocoder(params=P, chunk_frames=64, gl_iters=3)
+        q = StreamingVocoder(params=P, chunk_frames=64, gl_iters=3,
+                             emit_dtype="int16")
+        for c in range(mels.shape[0]):
+            wav_f = f.push(mels[c])
+            wav_q = q.push(mels[c])
+            assert wav_q.dtype == np.int16
+            pcm_f = np.round(np.clip(wav_f, -1.0, 1.0) * 32767.0).astype(
+                np.int16
+            )
+            np.testing.assert_array_equal(wav_q, pcm_f)
+
+    def test_float16_uplink_quality_parity(self):
+        from advoc_tpu.ops import spectral
+
+        chunks = 4
+        mels = self._mel(chunks)
+        f = StreamingVocoder(params=P, chunk_frames=64, gl_iters=3)
+        h = StreamingVocoder(params=P, chunk_frames=64, gl_iters=3,
+                             mel_dtype="float16")
+        wav_f = np.concatenate([f.push(mels[c]) for c in range(chunks)])
+        wav_h = np.concatenate([h.push(mels[c]) for c in range(chunks)])
+        # G-L phase is chaotic under tiny input perturbations, so sample-wise
+        # closeness is NOT the contract (measured: fp16 uplink shifts samples
+        # by up to ~0.1 while leaving quality unchanged). The contract is
+        # spectral fidelity: mel-L1 back to the input mel must match the f32
+        # uplink's to well under the gates used for architecture decisions.
+        ref = jnp.asarray(mels.reshape(-1, P.n_mels))
+
+        def mel_l1(w):
+            m = spectral.waveform_to_r9y9_melspec(jnp.asarray(w), P)
+            n = min(m.shape[0], ref.shape[0])
+            return float(jnp.mean(jnp.abs(m[:n] - ref[:n])))
+
+        l_f, l_h = mel_l1(wav_f), mel_l1(wav_h)
+        assert abs(l_f - l_h) < 0.05 * max(l_f, 1e-6), (l_f, l_h)
+
+    def test_bad_dtypes_raise(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            StreamingVocoder(params=P, emit_dtype="int8")
+        with pytest.raises(ValueError):
+            StreamingVocoder(params=P, mel_dtype="bfloat16")
