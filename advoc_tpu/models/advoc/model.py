@@ -94,6 +94,29 @@ class AdvocConfig:
     gp_weight: float = 10.0      # only used when gan_type == "wgan-gp"
     # Conditioning the discriminator sees alongside the magnitude.
     condition_on: str = "estimate"  # estimate | mel
+    # packed_tail: EXACT rewrite of the finest decoder level (upN conv-
+    # transpose + norm + relu + 1×1 head) that never materializes the
+    # interleaved full-resolution activation — the r3 profile showed that
+    # level (up5: 7.7 ms of the 17.8 ms B=64 forward at ~19% MXU) is the
+    # forward's floor, and that every depth-to-space rewrite loses to the
+    # XLA transpose-conv lowering because stride-2 sub-lane interleaves
+    # cost 7–24 ms at this shape (see `upsample="subpixel"`). This mode
+    # sidesteps the interleave entirely instead of paying it:
+    #   * the k4/s2 transpose becomes the k2/s1 conv with 4f output
+    #     channels in (p,q,c) block order (same map as subpixel —
+    #     equality-tested), which runs with full MXU lanes;
+    #   * the freq parity q lands in LANE BLOCKS via a concat of two
+    #     f-channel slices (lane-block copy, no stride-2 shuffle);
+    #   * the time parity p lands on a MAJOR axis via stack+reshape
+    #     (pure tile reordering — the last two dims are untouched);
+    #   * norm + relu + head run in this packed layout (GroupNorm stats
+    #     and a 1×1 head are permutation-invariant across positions), and
+    #     the final bin axis emerges from a CONTIGUOUS reshape:
+    #     bin = (2n+q)·pack + k ≡ flattening (n, q, k).
+    # Same function, same parameter tree → trained checkpoints load
+    # unchanged; needs upsample="convtranspose", head_kernel=1, not
+    # fast_head. Measured numbers: BASELINE.md packed-tail section.
+    packed_tail: bool = False
 
     @property
     def compute_dtype(self):
@@ -224,6 +247,149 @@ class _Up(nn.Module):
         return nn.relu(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares `kernel`/`bias` exactly as nn.Conv/nn.ConvTranspose would
+    (same names, shapes, initializers, f32 param dtype) without building the
+    op — the packed-tail forward consumes the weights directly, and the
+    parameter tree stays identical to the default path so checkpoints are
+    interchangeable."""
+
+    shape: tuple  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.shape[-1],))
+        return k, b
+
+
+class _NormParams(nn.Module):
+    """`scale`/`bias` matching nn.GroupNorm's parameters."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s, b
+
+
+class _PackedTailUp(nn.Module):
+    """The finest _Up level (convtranspose k4/s2 + GroupNorm + ReLU) computed
+    in the packed layout (B, 2H, W, 2f) where lane index q·f+c holds output
+    pixel (2n+q, c) — see AdvocConfig.packed_tail. Exact same function and
+    parameter tree as `_Up(features, cfg, name=...)`."""
+
+    features: int
+    cfg: AdvocConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg, f = self.cfg, self.features
+        bsz, h, w_sp, cin = x.shape
+        wt, bias = _ConvParams((4, 4, cin, f), name="conv")()
+        scale, nbias = _NormParams(f, name="norm")()
+        use_kernel = (
+            cfg.compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and (h // 2) % 8 == 0
+        )
+        s1_l = s2_l = None
+        if use_kernel:
+            # Fused Pallas path: conv + bias + parity interleave + the
+            # GroupNorm Σy/Σy² reductions in one VMEM pass — the planar
+            # transpose-conv output never exists in HBM and the stats cost
+            # no extra HBM read (ops/pallas/packed_up.py; parity test
+            # tests/test_pallas.py).
+            from advoc_tpu.ops.pallas.packed_up import packed_up
+
+            y, s1_l, s2_l = packed_up(
+                x.astype(jnp.bfloat16), wt, bias, f=f,
+                tm=16 if (h // 2) % 16 == 0 else 8,
+                with_stats=True,
+            )
+        else:
+            # XLA fallback: ONE k(2,3)/s1 conv whose output is already
+            # column-aligned per freq parity. Base map (subpixel,
+            # equality-tested): z_pq = Conv_k2_pad11(x) with
+            # K2[u,v] = wt[2u+p, 2v+q], and y[2m+p, 2n+q, c] =
+            # z_pq[m+p, n+q, c]. The n+q column shift would cost a
+            # 1-sublane relayout of the full tensor, so it is folded into
+            # the kernel instead: a 3-wide column window at offsets
+            # {−1, 0, +1} holds q=0's taps at {−1, 0} and q=1's at
+            # {0, +1} (one third of the taps structurally zero — 1.5× the
+            # minimum conv FLOPs, far cheaper than any post-hoc shuffle
+            # at this shape). Output channel order is p-major (p, q, c),
+            # so each time-parity's (q, c) lane block is a CONTIGUOUS
+            # 2f-lane slice — no concat.
+            w4 = wt.reshape(2, 2, 2, 2, cin, f)      # [u, p, v, q, ci, c]
+            K3 = jnp.zeros((2, 3, cin, 4 * f), wt.dtype)
+            for p in (0, 1):
+                for q in (0, 1):
+                    blk = slice((2 * p + q) * f, (2 * p + q + 1) * f)
+                    # q=0: window cols {n−1, n} → k3 taps {0, 1};
+                    # q=1: window cols {n, n+1} → k3 taps {1, 2}.
+                    K3 = K3.at[:, 0 + q, :, blk].set(w4[:, p, 0, q])
+                    K3 = K3.at[:, 1 + q, :, blk].set(w4[:, p, 1, q])
+            z = jax.lax.conv_general_dilated(
+                x.astype(cfg.compute_dtype), K3.astype(cfg.compute_dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (B, h+1, w, 4f); full 4f lanes on the MXU
+            z = z + jnp.tile(bias, 4).astype(z.dtype)
+            # p → major-axis interleave: row slice [p:p+h] and lane-block
+            # slice are tile-granular; stack+reshape touch only dims
+            # above (w, lanes).
+            rows = [
+                z[:, p : p + h, :, 2 * p * f : 2 * (p + 1) * f]
+                for p in (0, 1)
+            ]
+            y = jnp.stack(rows, axis=2).reshape(bsz, 2 * h, w_sp, 2 * f)
+        # GroupNorm in the packed layout: group g pools lanes {q·f + c :
+        # c ∈ group g} for BOTH q — the same element sets as the standard
+        # layout (stats are permutation-invariant), so the math is exactly
+        # _norm's GroupNorm (f32 stats, bf16 out). Implemented as matmul
+        # reductions + one fused affine pass so every op runs with full
+        # 128-lane minors (a (…, 2, G, f/G)-view version measured ~4 ms
+        # slower: elementwise f32 at 8/128 lane efficiency over 537 MB).
+        G = cfg.norm_groups
+        lane_group = jnp.tile(
+            jnp.repeat(jnp.arange(G), f // G), 2
+        )  # (2f,) group id per packed lane
+        M = jax.nn.one_hot(lane_group, G, dtype=jnp.float32)  # (2f, G)
+        if s1_l is None:
+            # Per-lane reductions first (multiply+reduce fuses into one
+            # read pass over y — no full-size f32 temporary), then the tiny
+            # (B, 2f) results project onto groups. The kernel path gets
+            # these for free from its VMEM-resident chunks.
+            y2 = y.reshape(bsz, 2 * h * w_sp, 2 * f)
+            s1_l = jnp.einsum(
+                "bnc->bc", y2, preferred_element_type=jnp.float32
+            )
+            s2_l = jnp.einsum(
+                "bnc,bnc->bc", y2, y2, preferred_element_type=jnp.float32
+            )
+        s1 = s1_l @ M
+        s2 = s2_l @ M
+        count = 2 * h * w_sp * 2 * (f // G)
+        mean_g = s1 / count
+        var_g = s2 / count - jnp.square(mean_g)
+        inv_g = jax.lax.rsqrt(var_g + 1e-6)  # (B, G)
+        # Fold (x − μ)·inv·scale + bias into x·A + B per (batch, lane).
+        scale_l = jnp.tile(scale, 2)  # packed lane c_lane = q·f + c
+        bias_l = jnp.tile(nbias, 2)
+        inv_l = inv_g @ M.T  # (B, 2f)
+        mean_l = mean_g @ M.T
+        A = inv_l * scale_l
+        B = bias_l - mean_l * A
+        y = (
+            y.astype(jnp.float32) * A[:, None, None, :] + B[:, None, None, :]
+        ).astype(cfg.compute_dtype)
+        return nn.relu(y)
+
+
 class AdvocGenerator(nn.Module):
     """U-Net: heuristic magnitude estimate (normalized dB) → repaired estimate.
 
@@ -280,11 +446,27 @@ class AdvocGenerator(nn.Module):
         if (c := cut(x, "bottleneck")) is not None:
             return c
 
+        use_packed_tail = cfg.packed_tail and not cfg.fast_head
+        if use_packed_tail and (
+            cfg.upsample != "convtranspose" or cfg.head_kernel != 1
+        ):
+            raise ValueError(
+                "packed_tail requires upsample='convtranspose' and "
+                f"head_kernel=1 (got {cfg.upsample!r}, {cfg.head_kernel})"
+            )
         n_ups = len(feats) if not cfg.fast_head else len(feats) - 1
         for i, f in enumerate(list(reversed(feats))[:n_ups]):
+            last = i == n_ups - 1
             skip = skips[len(feats) - 1 - i]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = _Up(f, cfg, name=f"up{i}")(x)
+            if last and use_packed_tail:
+                # Packed finest level: x stays (B, T/2, W, 2f) with output
+                # pixel (2n+q, c) at lane q·f+c; the head below consumes
+                # this layout directly and the bin axis falls out of a
+                # contiguous reshape. Same params/function as _Up + head.
+                x = _PackedTailUp(f, cfg, name=f"up{i}")(x)
+            else:
+                x = _Up(f, cfg, name=f"up{i}")(x)
             if (c := cut(x, f"up{i}")) is not None:
                 return c
 
@@ -303,6 +485,26 @@ class AdvocGenerator(nn.Module):
                 .transpose(0, 1, 3, 2, 4, 5)
                 .reshape(bsz, h * 2, w * 2 * p)
             )
+        elif use_packed_tail:
+            # 1×1 head in the packed layout: x is (B, T, W, 2f) with pixel
+            # (2n+q, c) at lane q·f+c. The head's (f → p) map applies per
+            # q block with shared weights, and flattening (n, q, k) IS the
+            # bin axis: bin = (2n+q)·p + k. One contiguous reshape — the
+            # interleave never exists as a shuffle.
+            f = feats[0]
+            wh, bh = _ConvParams((1, 1, f, p), name="head")()
+            # Block-diagonal (2f → 2p) matmul: lane q·f+c maps to output
+            # lane q·p+k with the shared (f → p) head weights — one full-
+            # lane matmul instead of a tiny-minor 5D einsum. Flattening
+            # (w, q, k) IS the bin axis: bin = (2n+q)·p + k.
+            Wblk = jnp.zeros((2 * f, 2 * p), wh.dtype)
+            Wblk = Wblk.at[:f, :p].set(wh[0, 0])
+            Wblk = Wblk.at[f:, p:].set(wh[0, 0])
+            delta = (
+                x @ Wblk.astype(cfg.compute_dtype)
+                + jnp.tile(bh, 2).astype(cfg.compute_dtype)
+            ).astype(jnp.float32)
+            delta = delta.reshape(bsz, t, n_bins)
         else:
             # Head in compute dtype with p output channels (the packed
             # bins), unpacked back to the bin axis. The old unpacked head

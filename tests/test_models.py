@@ -98,6 +98,45 @@ class TestAdvocModels:
             np.asarray(y_sp), np.asarray(y_ct), atol=1e-5, rtol=1e-5
         )
 
+    def test_packed_tail_equals_default(self):
+        """packed_tail is an EXACT rewrite of the finest up level + head
+        (model.py AdvocConfig.packed_tail): identical parameter tree,
+        identical function — so trained checkpoints load unchanged and no
+        quality gate is needed. Verified in f32 to float precision and in
+        the production bf16 compute dtype to bf16 resolution."""
+        import dataclasses
+
+        for dtype, atol in (("float32", 2e-5), ("bfloat16", 4e-2)):
+            cfg = dataclasses.replace(TINY, dtype=dtype)
+            cfg_pk = dataclasses.replace(cfg, packed_tail=True)
+            g, gp = AdvocGenerator(cfg), AdvocGenerator(cfg_pk)
+            est = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 513))
+            params = g.init(jax.random.PRNGKey(1), est)["params"]
+            # Same tree: the packed model consumes the default's params.
+            chex_tree = jax.tree.structure(params)
+            params_pk = gp.init(jax.random.PRNGKey(2), est)["params"]
+            assert jax.tree.structure(params_pk) == chex_tree
+            assert jax.tree.map(jnp.shape, params_pk) == jax.tree.map(
+                jnp.shape, params
+            )
+            out = g.apply({"params": params}, est)
+            out_pk = gp.apply({"params": params}, est)
+            np.testing.assert_allclose(
+                np.asarray(out_pk), np.asarray(out), atol=atol, rtol=0,
+                err_msg=dtype,
+            )
+
+    def test_packed_tail_invalid_config_raises(self):
+        import dataclasses
+
+        import pytest
+
+        cfg = dataclasses.replace(TINY, packed_tail=True, head_kernel=4)
+        g = AdvocGenerator(cfg)
+        est = jnp.zeros((1, 64, 513))
+        with pytest.raises(ValueError):
+            g.init(jax.random.PRNGKey(0), est)
+
     def test_nyquist_passthrough(self):
         g = AdvocGenerator(TINY)
         est = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 513))

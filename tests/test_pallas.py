@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from advoc_tpu.data import loader
@@ -58,3 +59,64 @@ class TestFusedMelspec:
         got = fused_melspec(jnp.asarray(wav), P, interpret=True)
         gold = ref.waveform_to_r9y9_melspec(wav.astype(np.float64), P)[:256]
         np.testing.assert_allclose(np.asarray(got), gold, atol=3e-3)
+
+
+class TestPackedUp:
+    """Fused transpose-conv kernel (ops/pallas/packed_up.py): must equal
+    nn.ConvTranspose k4/s2 + bias repacked into the packed-tail layout."""
+
+    def test_matches_conv_transpose(self):
+        from advoc_tpu.ops.pallas.packed_up import packed_up
+
+        f, cin, B, H, W = 8, 12, 2, 32, 16
+        q = lambda a: jnp.asarray(a, jnp.bfloat16).astype(jnp.float32)
+        x = q(jax.random.normal(jax.random.PRNGKey(0), (B, H, W, cin)))
+        wt = q(jax.random.normal(jax.random.PRNGKey(1), (4, 4, cin, f)) * 0.1)
+        bias = q(jax.random.normal(jax.random.PRNGKey(2), (f,)) * 0.1)
+        yt = jax.lax.conv_transpose(
+            x, wt, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bias
+        # packed[b, 2m+p, n, q·f+c] = yt[b, 2m+p, 2n+q, c]
+        gold = yt.reshape(B, 2 * H, W, 2 * f)
+        got = packed_up(x, wt, bias, f=f, tm=8, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(gold), atol=3e-2
+        )
+
+    def test_with_stats(self):
+        """Σy / Σy² emitted by the kernel (the GroupNorm reductions) must
+        match reducing the returned packed output itself — the revisiting
+        accumulator covers every chunk exactly once."""
+        from advoc_tpu.ops.pallas.packed_up import packed_up
+
+        f, cin, B, H, W = 8, 12, 2, 64, 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, cin))
+        wt = jax.random.normal(jax.random.PRNGKey(1), (4, 4, cin, f)) * 0.1
+        bias = jax.random.normal(jax.random.PRNGKey(2), (f,)) * 0.1
+        y, s1, s2 = packed_up(
+            x, wt, bias, f=f, tm=8, with_stats=True, interpret=True
+        )
+        yf = np.asarray(y, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(s1), yf.sum(axis=(1, 2)), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2), (yf * yf).sum(axis=(1, 2)), rtol=1e-4, atol=1e-3
+        )
+
+    def test_tm_16(self):
+        from advoc_tpu.ops.pallas.packed_up import packed_up
+
+        f, cin, B, H, W = 4, 6, 1, 64, 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, cin))
+        wt = jax.random.normal(jax.random.PRNGKey(1), (4, 4, cin, f)) * 0.1
+        bias = jnp.zeros((f,))
+        yt = jax.lax.conv_transpose(
+            x, wt, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        gold = yt.reshape(B, 2 * H, W, 2 * f)
+        got = packed_up(x, wt, bias, f=f, tm=16, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(gold), atol=3e-2
+        )
