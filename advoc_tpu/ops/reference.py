@@ -396,6 +396,164 @@ def lws_kernels(
     return A, B
 
 
+_LWS_EDGE_KERNEL_CACHE: dict = {}
+
+
+def lws_edge_kernels(
+    params: AudioParams = DEFAULT_PARAMS,
+    band: int = 3,
+    corner: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """End-edge consistency kernels (A_edge, B_edge), each (Q−1, 2Q−1, F, F).
+
+    ``A_edge[d]`` is the consistency kernel for a response frame at distance
+    ``d`` from the END of a finite signal (a spectrogram that simply stops at
+    the stream head, length = n_frames·hop): its analysis window is truncated
+    at the signal end and the OLA/NOLA normalization there sums only the
+    windows that exist, so the effective windows are *asymmetric* — this is
+    the numerically-measured analog of the ``lws`` C library's
+    asymmetric-analysis-window mode (SURVEY §7.3 hard-part #2). Frames at
+    distance ≥ Q−1 from the end see the interior operator (their window ends
+    before the signal does), so only d ∈ 0…Q−2 need edge sets; entries whose
+    source frame would lie beyond the end (d + dm < 0) are structurally zero.
+
+    Measured like :func:`lws_kernels` but vectorized over probe bins: both
+    STFT and iSTFT are linear and the NOLA window-sum is content-independent,
+    so one irFFT of the identity gives all F per-bin time atoms and the F
+    probe responses come from one batched OLA + rFFT. Cached per argument.
+    """
+    key = (params, band, corner)
+    if key in _LWS_EDGE_KERNEL_CACHE:
+        return _LWS_EDGE_KERNEL_CACHE[key]
+    F = params.n_freq
+    Q = params.n_fft // params.hop_length
+    assert params.n_fft % params.hop_length == 0, "LWS kernels need hop | n_fft"
+    nfft, hop = params.n_fft, params.hop_length
+    T0 = 4 * Q
+    length = T0 * hop  # online convention: T frames ↔ T·hop samples
+    win = hann_window(params.win_length)
+    if params.win_length < nfft:
+        lpad = (nfft - params.win_length) // 2
+        win = np.pad(win, (lpad, nfft - params.win_length - lpad))
+    # Content-independent NOLA sum for a T0-frame signal of this length.
+    total = nfft + (T0 - 1) * hop
+    wsum = np.zeros(total, dtype=np.float64)
+    for i in range(T0):
+        wsum[i * hop : i * hop + nfft] += win * win
+    pad = nfft // 2
+    wsum_sig = np.maximum(wsum[pad : pad + length], 1e-11)
+
+    def measure(ds: int, val: complex) -> np.ndarray:
+        """(T0_resp, F_resp, F_src): responses at every frame to per-bin
+        probes at source frame T0−1−ds."""
+        s = (T0 - 1 - ds) * hop
+        atoms = np.fft.irfft(val * np.eye(F, dtype=np.complex128), n=nfft,
+                             axis=-1)  # (F_src, nfft)
+        y = np.zeros((F, length), dtype=np.float64)
+        lo, hi = max(s, pad), min(s + nfft, pad + length)
+        y[:, lo - pad : hi - pad] = (atoms * win[None])[:, lo - s : hi - s]
+        y /= wsum_sig[None]
+        # Batched centered stft (reflect pad, frame, window, rfft).
+        yp = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        nf = 1 + (yp.shape[1] - nfft) // hop
+        frames = np.stack(
+            [yp[:, i * hop : i * hop + nfft] for i in range(min(nf, T0))],
+            axis=1,
+        )
+        G = np.fft.rfft(frames * win[None, None], n=nfft, axis=-1)
+        return np.transpose(G, (1, 2, 0))  # (T0, F_resp, F_src)
+
+    A = np.zeros((Q - 1, 2 * Q - 1, F, F), dtype=np.complex128)
+    B = np.zeros_like(A)
+    for ds in range(2 * Q - 2):
+        G1 = measure(ds, 1.0)
+        Gi = measure(ds, 1.0j)
+        for d in range(Q - 1):
+            dm = ds - d
+            if -(Q - 1) <= dm <= Q - 1:
+                r = T0 - 1 - d
+                A[d, dm + Q - 1] = (G1[r] - 1j * Gi[r]) / 2.0
+                B[d, dm + Q - 1] = (G1[r] + 1j * Gi[r]) / 2.0
+    # Locality, measured (BASELINE.md): d ≥ 1 is as band/corner-local as the
+    # interior (≥99.99% of |A|² in |Δn| ≤ 3, B in the corners), but d = 0 —
+    # the head frame, whose analysis window overlaps the reflect re-analysis
+    # pad — is NOT: its conjugate part holds ~10% of A's energy spread over
+    # ALL bins (time reflection ≈ spectral conjugation, a dense ℝ-linear
+    # coupling). So d = 0 stays DENSE (one (2Q−1)·F × F matvec — trivial MXU
+    # work) and d ≥ 1 get the standard masks.
+    A[1:] *= _lws_band_mask(F, band)[None, None]
+    B[1:] *= _lws_corner_mask(F, corner)[None, None]
+    _LWS_EDGE_KERNEL_CACHE[key] = (A, B)
+    return A, B
+
+
+def lws_online(
+    mag: np.ndarray,
+    length: int | None = None,
+    n_sweeps: int = 2,
+    look_ahead: int = 2,
+    asymmetric: bool = True,
+    band: int = 3,
+    corner: int = 8,
+    include_self: bool = False,
+    params: AudioParams = DEFAULT_PARAMS,
+    return_spec: bool = False,
+) -> np.ndarray:
+    """Online (streaming) LWS phase recovery: magnitude (T, F) → waveform.
+
+    Frames arrive one at a time. When frame m arrives (zero-phase init,
+    matching :func:`lws`), the phases of frames m−look_ahead…m are refined
+    with ``n_sweeps`` Gauss-Seidel passes (oldest→newest within each pass);
+    frames beyond m do not exist yet and contribute nothing. Frame
+    m−look_ahead receives its LAST update at step m — the algorithmic
+    latency is exactly ``look_ahead`` frames and the causality contract is
+    prefix equivariance: running on ``mag[:t]`` produces bit-identical
+    phases for frames ≤ t−1−look_ahead (tested).
+
+    ``asymmetric=True`` uses the end-edge kernels of
+    :func:`lws_edge_kernels` for response frames within Q−1 of the head, so
+    each provisional update is exact for the signal-as-received — the
+    asymmetric-window mode of the ``lws`` C library. ``False`` approximates
+    the head with interior kernels over zero-extended future frames.
+    """
+    if length is None:
+        length = mag.shape[0] * params.hop_length
+    A, B = lws_kernels(params, band, corner)
+    Q = params.n_fft // params.hop_length
+    if asymmetric:
+        Ae, Be = lws_edge_kernels(params, band, corner)
+    mag = np.asarray(mag, dtype=np.float64)
+    T = mag.shape[0]
+    la = look_ahead
+    # Q−1 leading zeros (pre-signal, as in batch lws) and Q−1 trailing
+    # zeros (the not-yet-arrived future a window may slice into).
+    spad = np.zeros((T + 2 * (Q - 1), mag.shape[1]), dtype=np.complex128)
+    for m_new in range(T):
+        spad[m_new + Q - 1] = mag[m_new]  # zero-phase arrival
+        for _ in range(n_sweeps):
+            for j in range(max(0, m_new - la), m_new + 1):
+                d = m_new - j
+                if asymmetric and d <= Q - 2:
+                    Ak, Bk = Ae[d], Be[d]
+                else:
+                    Ak, Bk = A, B
+                win = spad[j : j + 2 * Q - 1]
+                acc = np.einsum("jab,jb->a", Ak[::-1], win)
+                acc += np.einsum("jab,jb->a", Bk[::-1], np.conj(win))
+                if not include_self:
+                    cur = spad[j + Q - 1]
+                    acc -= np.diag(Ak[Q - 1]) * cur
+                    acc -= np.diag(Bk[Q - 1]) * np.conj(cur)
+                spad[j + Q - 1] = mag[j] * (
+                    acc / np.maximum(np.abs(acc), 1e-16)
+                )
+    spec = spad[Q - 1 : Q - 1 + T]
+    wav = istft(spec, length, params)
+    if return_spec:
+        return wav, spec.copy()
+    return wav
+
+
 def lws(
     mag: np.ndarray,
     length: int | None = None,

@@ -512,7 +512,11 @@ def _lws_consts(params: AudioParams, band: int, corner: int) -> dict:
     """
     A, B = ref.lws_kernels(params, band, corner)  # masked (2Q-1, F, F)
     Q = params.n_fft // params.hop_length
-    F = params.n_freq
+    return _split_ab(A, B, Q, band, corner)
+
+
+def _split_ab(A: np.ndarray, B: np.ndarray, Q: int, band: int, corner: int) -> dict:
+    F = A.shape[-1]
     A_rev, B_rev = A[::-1], B[::-1]
     nb = 2 * band + 1
     aband = np.zeros((2 * Q - 1, nb, F), dtype=np.complex128)
@@ -538,6 +542,82 @@ def _lws_consts(params: AudioParams, band: int, corner: int) -> dict:
     }
 
 
+def _lws_update(win_re, win_im, mg, cst, include_self: bool):
+    """One LWS frame update from its (B, 2Q−1, F) source window.
+
+    Shared by :func:`lws` and :func:`lws_online`. ``cst`` is a dict from
+    ``_lws_consts`` (banded A + corner-block B) or a dense edge set from
+    ``_lws_online_consts`` (``cst["dense"]`` — the head frame's kernels are
+    not band-local, see ``reference.lws_edge_kernels``). The updated frame
+    is the window's center (index Q−1); returns (new_re, new_im) with
+    magnitude ``mg``.
+    """
+    Bn, nj, F = win_re.shape
+    ein = functools.partial(jnp.einsum, precision=_HIGHEST)
+    if cst.get("dense") is not None:
+        # acc = Σ_j A_rev[j] @ win[j] + B_rev[j] @ conj(win[j]), folded into
+        # two real (2Q−1·F, F) matmuls per output part.
+        kr_wre, kr_wim, ki_wre, ki_wim = (
+            jnp.asarray(cst["dense"][k])
+            for k in ("kr_wre", "kr_wim", "ki_wre", "ki_wim")
+        )
+        wre = win_re.reshape(Bn, nj * F)
+        wim = win_im.reshape(Bn, nj * F)
+        acc_re = ein("nk,ka->na", wre, kr_wre) + ein("nk,ka->na", wim, kr_wim)
+        acc_im = ein("nk,ka->na", wre, ki_wre) + ein("nk,ka->na", wim, ki_wim)
+    else:
+        c = cst["c"]
+        a_re, a_im = jnp.asarray(cst["a_re"]), jnp.asarray(cst["a_im"])
+        blo_re = jnp.asarray(cst["blo_re"])
+        blo_im = jnp.asarray(cst["blo_im"])
+        bhi_re = jnp.asarray(cst["bhi_re"])
+        bhi_im = jnp.asarray(cst["bhi_im"])
+        nb = a_re.shape[1]
+        bandw = (nb - 1) // 2
+        wp_re = jnp.pad(win_re, ((0, 0), (0, 0), (bandw, bandw)))
+        wp_im = jnp.pad(win_im, ((0, 0), (0, 0), (bandw, bandw)))
+        acc_re = jnp.zeros((Bn, F), jnp.float32)
+        acc_im = jnp.zeros((Bn, F), jnp.float32)
+        for d in range(nb):
+            dn = d - bandw
+            sh_re = jax.lax.slice_in_dim(wp_re, bandw - dn, bandw - dn + F, axis=2)
+            sh_im = jax.lax.slice_in_dim(wp_im, bandw - dn, bandw - dn + F, axis=2)
+            kr, ki = a_re[:, d, :], a_im[:, d, :]  # (nj, F)
+            acc_re += ein("jf,njf->nf", kr, sh_re) - ein("jf,njf->nf", ki, sh_im)
+            acc_im += ein("jf,njf->nf", kr, sh_im) + ein("jf,njf->nf", ki, sh_re)
+        lo_re, lo_im = win_re[:, :, :c], -win_im[:, :, :c]  # conj(src)
+        hi_re, hi_im = win_re[:, :, F - c :], -win_im[:, :, F - c :]
+        add_lo_re = ein("jak,njk->na", blo_re, lo_re) - ein(
+            "jak,njk->na", blo_im, lo_im
+        )
+        add_lo_im = ein("jak,njk->na", blo_re, lo_im) + ein(
+            "jak,njk->na", blo_im, lo_re
+        )
+        add_hi_re = ein("jak,njk->na", bhi_re, hi_re) - ein(
+            "jak,njk->na", bhi_im, hi_im
+        )
+        add_hi_im = ein("jak,njk->na", bhi_re, hi_im) + ein(
+            "jak,njk->na", bhi_im, hi_re
+        )
+        acc_re = acc_re.at[:, :c].add(add_lo_re).at[:, F - c :].add(add_hi_re)
+        acc_im = acc_im.at[:, :c].add(add_lo_im).at[:, F - c :].add(add_hi_im)
+
+    if not include_self:
+        Q = cst["Q"]
+        cur_re, cur_im = win_re[:, Q - 1], win_im[:, Q - 1]
+        dga_re = jnp.asarray(cst["diag_a_re"])
+        dga_im = jnp.asarray(cst["diag_a_im"])
+        dgb_re = jnp.asarray(cst["diag_b_re"])
+        dgb_im = jnp.asarray(cst["diag_b_im"])
+        acc_re -= dga_re * cur_re - dga_im * cur_im
+        acc_im -= dga_re * cur_im + dga_im * cur_re
+        acc_re -= dgb_re * cur_re + dgb_im * cur_im  # diag_b · conj(cur)
+        acc_im -= -dgb_re * cur_im + dgb_im * cur_re
+
+    norm = jnp.maximum(jnp.sqrt(acc_re**2 + acc_im**2), 1e-16)
+    return mg * acc_re / norm, mg * acc_im / norm
+
+
 def lws(
     mag: Array,
     length: int | None = None,
@@ -559,20 +639,12 @@ def lws(
     if length is None:
         length = mag.shape[-2] * params.hop_length
     cst = _lws_consts(params, band, corner)
-    Q, c = cst["Q"], cst["c"]
-    a_re, a_im = jnp.asarray(cst["a_re"]), jnp.asarray(cst["a_im"])
-    blo_re, blo_im = jnp.asarray(cst["blo_re"]), jnp.asarray(cst["blo_im"])
-    bhi_re, bhi_im = jnp.asarray(cst["bhi_re"]), jnp.asarray(cst["bhi_im"])
-    dga_re = jnp.asarray(cst["diag_a_re"])
-    dga_im = jnp.asarray(cst["diag_a_im"])
-    dgb_re = jnp.asarray(cst["diag_b_re"])
-    dgb_im = jnp.asarray(cst["diag_b_im"])
+    Q = cst["Q"]
 
     lead = mag.shape[:-2]
     magb = mag.reshape((-1,) + mag.shape[-2:]).astype(jnp.float32)  # (B,T,F)
     Bn, T, F = magb.shape
-    nj, nb = a_re.shape[0], a_re.shape[1]
-    bandw = (nb - 1) // 2
+    nj = 2 * Q - 1
 
     pad_re = jnp.zeros((Bn, T + 2 * (Q - 1), F), jnp.float32)
     pad_re = pad_re.at[:, Q - 1 : Q - 1 + T, :].set(magb)  # zero-phase init
@@ -582,49 +654,8 @@ def lws(
         s_re, s_im = carry
         win_re = jax.lax.dynamic_slice_in_dim(s_re, m, nj, axis=1)  # (B,2Q-1,F)
         win_im = jax.lax.dynamic_slice_in_dim(s_im, m, nj, axis=1)
-        # A-term: banded multiply-accumulate over frequency shifts.
-        wp_re = jnp.pad(win_re, ((0, 0), (0, 0), (bandw, bandw)))
-        wp_im = jnp.pad(win_im, ((0, 0), (0, 0), (bandw, bandw)))
-        acc_re = jnp.zeros((Bn, F), jnp.float32)
-        acc_im = jnp.zeros((Bn, F), jnp.float32)
-        ein = functools.partial(jnp.einsum, precision=_HIGHEST)
-        for d in range(nb):
-            dn = d - bandw
-            sh_re = jax.lax.slice_in_dim(wp_re, bandw - dn, bandw - dn + F, axis=2)
-            sh_im = jax.lax.slice_in_dim(wp_im, bandw - dn, bandw - dn + F, axis=2)
-            kr, ki = a_re[:, d, :], a_im[:, d, :]  # (nj, F)
-            acc_re += ein("jf,njf->nf", kr, sh_re) - ein("jf,njf->nf", ki, sh_im)
-            acc_im += ein("jf,njf->nf", kr, sh_im) + ein("jf,njf->nf", ki, sh_re)
-        # B-term (conjugate fold): two small corner blocks.
-        lo_re, lo_im = win_re[:, :, :c], -win_im[:, :, :c]  # conj(src)
-        hi_re, hi_im = win_re[:, :, F - c :], -win_im[:, :, F - c :]
-        add_lo_re = ein("jak,njk->na", blo_re, lo_re) - ein(
-            "jak,njk->na", blo_im, lo_im
-        )
-        add_lo_im = ein("jak,njk->na", blo_re, lo_im) + ein(
-            "jak,njk->na", blo_im, lo_re
-        )
-        add_hi_re = ein("jak,njk->na", bhi_re, hi_re) - ein(
-            "jak,njk->na", bhi_im, hi_im
-        )
-        add_hi_im = ein("jak,njk->na", bhi_re, hi_im) + ein(
-            "jak,njk->na", bhi_im, hi_re
-        )
-        acc_re = acc_re.at[:, :c].add(add_lo_re).at[:, F - c :].add(add_hi_re)
-        acc_im = acc_im.at[:, :c].add(add_lo_im).at[:, F - c :].add(add_hi_im)
-
-        cur_re = jax.lax.dynamic_slice_in_dim(s_re, m + Q - 1, 1, axis=1)[:, 0]
-        cur_im = jax.lax.dynamic_slice_in_dim(s_im, m + Q - 1, 1, axis=1)[:, 0]
-        if not include_self:
-            acc_re -= dga_re * cur_re - dga_im * cur_im
-            acc_im -= dga_re * cur_im + dga_im * cur_re
-            acc_re -= dgb_re * cur_re + dgb_im * cur_im  # diag_b · conj(cur)
-            acc_im -= -dgb_re * cur_im + dgb_im * cur_re
-
         mg = jax.lax.dynamic_slice_in_dim(magb, m, 1, axis=1)[:, 0]
-        norm = jnp.maximum(jnp.sqrt(acc_re**2 + acc_im**2), 1e-16)
-        new_re = mg * acc_re / norm
-        new_im = mg * acc_im / norm
+        new_re, new_im = _lws_update(win_re, win_im, mg, cst, include_self)
         s_re = jax.lax.dynamic_update_slice_in_dim(
             s_re, new_re[:, None, :], m + Q - 1, axis=1
         )
@@ -642,6 +673,135 @@ def lws(
     )
     spec = jax.lax.complex(
         pad_re[:, Q - 1 : Q - 1 + T], pad_im[:, Q - 1 : Q - 1 + T]
+    )
+    return istft(spec, length, params).reshape(lead + (length,))
+
+
+@functools.lru_cache(maxsize=8)
+def _lws_online_consts(
+    params: AudioParams, band: int, corner: int, look_ahead: int,
+    asymmetric: bool,
+) -> tuple:
+    """Per-head-distance kernel constants for :func:`lws_online`.
+
+    Entry d is the const dict for updating a frame at distance d from the
+    stream head: the interior split for d ≥ Q−1 (or always, when
+    ``asymmetric=False``), the banded split of the measured end-edge kernels
+    (``reference.lws_edge_kernels``) for 1 ≤ d ≤ Q−2, and a DENSE set for
+    d = 0 — the head frame's kernels are not band-local (its analysis window
+    overlaps the reflect re-analysis pad; see the oracle's docstring), so its
+    update is two (2Q−1·F, F) real matmuls (trivial MXU work).
+    """
+    Q = params.n_fft // params.hop_length
+    interior = _lws_consts(params, band, corner)
+    if not asymmetric:
+        return tuple(interior for _ in range(look_ahead + 1))
+    Ae, Be = ref.lws_edge_kernels(params, band, corner)
+    out = []
+    f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)  # noqa: E731
+    for d in range(look_ahead + 1):
+        if d >= Q - 1:
+            out.append(interior)
+        elif d == 0:
+            Ar, Br = Ae[0][::-1], Be[0][::-1]  # pre-reversed like _split_ab
+            tr = lambda K: f32(  # noqa: E731
+                np.transpose(K, (0, 2, 1)).reshape(-1, K.shape[1])
+            )  # (j, a, b) → ((j·b), a): win flattened over (j, b)
+            dense = {
+                "kr_wre": tr(Ar.real + Br.real),
+                "kr_wim": tr(Br.imag - Ar.imag),
+                "ki_wre": tr(Ar.imag + Br.imag),
+                "ki_wim": tr(Ar.real - Br.real),
+            }
+            out.append({
+                "dense": dense, "Q": Q,
+                "diag_a_re": f32(np.diag(Ae[0][Q - 1]).real),
+                "diag_a_im": f32(np.diag(Ae[0][Q - 1]).imag),
+                "diag_b_re": f32(np.diag(Be[0][Q - 1]).real),
+                "diag_b_im": f32(np.diag(Be[0][Q - 1]).imag),
+            })
+        else:
+            out.append(_split_ab(Ae[d], Be[d], Q, band, corner))
+    return tuple(out)
+
+
+def lws_online(
+    mag: Array,
+    length: int | None = None,
+    n_sweeps: int = 2,
+    look_ahead: int = 2,
+    asymmetric: bool = True,
+    band: int = 3,
+    corner: int = 8,
+    include_self: bool = False,
+    params: AudioParams = DEFAULT_PARAMS,
+) -> Array:
+    """Online (streaming) LWS phase recovery, (..., T, n_freq) → (..., length).
+
+    ``lax.scan`` twin of the float64 oracle ``reference.lws_online``
+    (parity-tested) — the online/asymmetric-window mode of the reference's
+    ``lws`` C library (SURVEY §7.3 hard-part #2), TPU-native. Frames arrive
+    one per scan step; the step refines frames m−look_ahead…m with
+    ``n_sweeps`` Gauss-Seidel passes over a VMEM-resident rolling window of
+    look_ahead+2Q−1 frames and emits frame m−look_ahead, which is final —
+    the algorithmic latency is exactly ``look_ahead`` frames (prefix
+    equivariance is tested). ``asymmetric=True`` updates near-head frames
+    with the measured end-edge ("asymmetric window") kernels so each
+    provisional phase is exact for the signal-as-received; ``False`` uses
+    the interior kernels over zero-extended future frames.
+
+    Fixed per-frame work; like :func:`lws` this path is
+    sequential-depth-bound on TPU — for bulk offline vocoding prefer
+    fast-GL (:func:`magspec_to_waveform_lws`); for low-latency serving the
+    chunked :class:`~advoc_tpu.infer.vocoder.StreamingVocoder` remains the
+    production path (BASELINE.md).
+    """
+    if length is None:
+        length = mag.shape[-2] * params.hop_length
+    csts = _lws_online_consts(params, band, corner, look_ahead, asymmetric)
+    Q = csts[0]["Q"]
+    la = look_ahead
+    lead = mag.shape[:-2]
+    magb = mag.reshape((-1,) + mag.shape[-2:]).astype(jnp.float32)  # (B,T,F)
+    Bn, T, F = magb.shape
+    if T <= la:
+        raise ValueError(f"need T > look_ahead (got T={T}, la={la})")
+    H = la + Q - 1  # head index in the rolling buffer
+    W = la + 2 * Q - 1  # buffer: frames m−(la+Q−1)…m+(Q−1); tail Q−1 = future → 0
+    s_re0 = jnp.zeros((Bn, W, F), jnp.float32)
+    s_im0 = jnp.zeros_like(s_re0)
+    mbuf0 = jnp.zeros((Bn, la + 1, F), jnp.float32)
+
+    def step(carry, mg_new):
+        s_re, s_im, mbuf = carry
+        zero = jnp.zeros((Bn, 1, F), jnp.float32)
+        s_re = jnp.concatenate([s_re[:, 1:], zero], axis=1)
+        s_im = jnp.concatenate([s_im[:, 1:], zero], axis=1)
+        mbuf = jnp.concatenate([mbuf[:, 1:], mg_new[:, None]], axis=1)
+        s_re = s_re.at[:, H].set(mg_new)  # zero-phase arrival (im already 0)
+        for _ in range(n_sweeps):
+            for d in range(la, -1, -1):  # oldest → newest (Gauss-Seidel)
+                k = H - d
+                win_re = s_re[:, k - (Q - 1) : k + Q]
+                win_im = s_im[:, k - (Q - 1) : k + Q]
+                new_re, new_im = _lws_update(
+                    win_re, win_im, mbuf[:, la - d], csts[d], include_self
+                )
+                s_re = s_re.at[:, k].set(new_re)
+                s_im = s_im.at[:, k].set(new_im)
+        return (s_re, s_im, mbuf), (s_re[:, H - la], s_im[:, H - la])
+
+    (s_re, s_im, _), (ys_re, ys_im) = jax.lax.scan(
+        step, (s_re0, s_im0, mbuf0), jnp.moveaxis(magb, 1, 0)
+    )
+    # Step m emits frame m−la (final); the last la frames stay in the buffer.
+    head_re = jnp.moveaxis(ys_re[la:], 0, 1)  # frames 0…T−1−la
+    head_im = jnp.moveaxis(ys_im[la:], 0, 1)
+    tail_re = s_re[:, H - la + 1 : H + 1]  # frames T−la…T−1
+    tail_im = s_im[:, H - la + 1 : H + 1]
+    spec = jax.lax.complex(
+        jnp.concatenate([head_re, tail_re], 1),
+        jnp.concatenate([head_im, tail_im], 1),
     )
     return istft(spec, length, params).reshape(lead + (length,))
 
@@ -678,13 +838,17 @@ def r9y9_melspec_to_waveform(
     phase_method: "lws" = the shipped quality path (fast-GL momentum 0.99 —
     see :func:`magspec_to_waveform_lws` for the measured A/B vs true LWS);
     "lws_exact" = the true Local Weighted Sums sweeps (:func:`lws`, n_iters
-    counts sweeps); "griffin_lim" = classic G-L.
+    counts sweeps); "lws_online" = causal streaming LWS with asymmetric-
+    window head updates (:func:`lws_online`, n_iters counts per-arrival
+    sweeps, default look-ahead); "griffin_lim" = classic G-L.
     """
     mag = r9y9_melspec_to_magspec(mel, params)
     if phase_method == "lws":
         return magspec_to_waveform_lws(mag, n_iters=n_iters, params=params)
     if phase_method == "lws_exact":
         return lws(mag, n_sweeps=n_iters, params=params)
+    if phase_method == "lws_online":
+        return lws_online(mag, n_sweeps=n_iters, params=params)
     if phase_method == "griffin_lim":
         return magspec_to_waveform_griffin_lim(mag, n_iters=n_iters, params=params)
     raise ValueError(f"unknown phase_method: {phase_method!r}")

@@ -272,3 +272,102 @@ class TestLWS:
         np.testing.assert_allclose(
             np.asarray(out[0]), np.asarray(single), atol=1e-5
         )
+
+
+class TestLWSOnline:
+    """Online/asymmetric-window LWS (reference.lws_online + spectral twin) —
+    the ``lws`` C library's streaming mode (SURVEY §7.3 hard-part #2)."""
+
+    def test_edge_kernels_reproduce_end_operator(self):
+        """The measured end-edge kernels must reproduce G = STFT∘iSTFT at the
+        last frames of a FINITE signal (length = T·hop): d = 0 to machine
+        precision (dense set), d ≥ 1 within the band/corner truncation — and
+        the interior kernels must NOT (the edge operator is different)."""
+        Q = P.n_fft // P.hop_length
+        Ae, Be = ref.lws_edge_kernels(P, band=16, corner=16)
+        assert Ae.shape == (Q - 1, 2 * Q - 1, P.n_freq, P.n_freq)
+        rng = np.random.default_rng(1)
+        T = 20
+        S = rng.standard_normal((T, P.n_freq)) + 1j * rng.standard_normal(
+            (T, P.n_freq)
+        )
+        GS = ref.stft(ref.istft(S, T * P.hop_length, P), P)[:T]
+        Sp = np.concatenate([S, np.zeros((Q - 1, P.n_freq), complex)], 0)
+
+        def apply(A, B, m):
+            return sum(
+                A[dm + Q - 1] @ Sp[m - dm] + B[dm + Q - 1] @ np.conj(Sp[m - dm])
+                for dm in range(-(Q - 1), Q)
+            )
+
+        for d in range(Q - 1):
+            m = T - 1 - d
+            rel = np.abs(apply(Ae[d], Be[d], m) - GS[m]).max()
+            rel /= np.abs(GS[m]).max()
+            assert rel < (1e-12 if d == 0 else 2e-3), (d, rel)
+        Ai, Bi = ref.lws_kernels(P, band=16, corner=16)
+        m = T - 1
+        rel = np.abs(apply(Ai, Bi, m) - GS[m]).max() / np.abs(GS[m]).max()
+        assert rel > 0.1, rel  # interior kernels are wrong at the edge
+
+    def test_oracle_prefix_causality(self, wav):
+        """The online contract: frame j's phase is final once the head has
+        advanced look_ahead past it — running on a prefix must be
+        bit-identical there."""
+        mag = ref.waveform_to_magspec(wav, P)[:28]
+        la = 2
+        _, full = ref.lws_online(
+            mag, n_sweeps=2, look_ahead=la, params=P, return_spec=True
+        )
+        _, pref = ref.lws_online(
+            mag[:18], n_sweeps=2, look_ahead=la, params=P, return_spec=True
+        )
+        assert np.array_equal(full[: 18 - la], pref[: 18 - la])
+
+    @pytest.mark.parametrize("asymmetric", [True, False])
+    def test_jax_matches_oracle(self, wav, asymmetric):
+        mag = ref.waveform_to_magspec(wav, P)[:24]
+        gold = ref.lws_online(
+            mag, n_sweeps=2, look_ahead=2, asymmetric=asymmetric, params=P
+        )
+        got = np.asarray(
+            jax.jit(
+                lambda m: sp.lws_online(
+                    m, n_sweeps=2, look_ahead=2, asymmetric=asymmetric,
+                    params=P,
+                )
+            )(jnp.asarray(mag, jnp.float32))
+        )
+        # Tolerance: the d=0 head update is a DENSE (2Q−1·F)-deep f32 matmul
+        # whose rounding feeds a phase iteration; asymmetric=False (banded
+        # only) sits at ~1e-5.
+        rel = np.abs(got - gold).max() / np.abs(gold).max()
+        assert rel < (2e-3 if asymmetric else 1e-4), rel
+
+    def test_look_ahead_past_edge_region(self, wav):
+        """look_ahead ≥ Q−1 mixes interior and edge kernel sets; parity must
+        hold across the boundary."""
+        mag = ref.waveform_to_magspec(wav, P)[:24]
+        gold = ref.lws_online(mag, n_sweeps=1, look_ahead=4, params=P)
+        got = np.asarray(
+            jax.jit(
+                lambda m: sp.lws_online(m, n_sweeps=1, look_ahead=4, params=P)
+            )(jnp.asarray(mag, jnp.float32))
+        )
+        rel = np.abs(got - gold).max() / np.abs(gold).max()
+        assert rel < 2e-3, rel
+
+    def test_reduces_consistency_error(self, wav):
+        mag = ref.waveform_to_magspec(wav, P)[:48]
+        x0 = ref.istft(mag.astype(np.complex128), 48 * P.hop_length, P)
+        xo = np.asarray(
+            sp.lws_online(
+                jnp.asarray(mag, jnp.float32), n_sweeps=2, look_ahead=2,
+                params=P,
+            )
+        )
+        e0 = np.abs(ref.waveform_to_magspec(x0, P)[:48] - mag).mean()
+        eo = np.abs(
+            ref.waveform_to_magspec(xo.astype(np.float64), P)[:48] - mag
+        ).mean()
+        assert eo < 0.35 * e0
