@@ -357,6 +357,22 @@ class TestLWSOnline:
         rel = np.abs(got - gold).max() / np.abs(gold).max()
         assert rel < 2e-3, rel
 
+    def test_phase_method_dispatch(self, wav):
+        """`r9y9_melspec_to_waveform(phase_method="lws_online")` routes to
+        the online scan (n_iters = per-arrival sweeps)."""
+        mel = jnp.asarray(
+            ref.waveform_to_r9y9_melspec(wav, P)[:16], jnp.float32
+        )
+        via_method = sp.r9y9_melspec_to_waveform(
+            mel, n_iters=1, phase_method="lws_online", params=P
+        )
+        direct = sp.lws_online(
+            sp.r9y9_melspec_to_magspec(mel, P), n_sweeps=1, params=P
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_method), np.asarray(direct), atol=1e-6
+        )
+
     def test_reduces_consistency_error(self, wav):
         mag = ref.waveform_to_magspec(wav, P)[:48]
         x0 = ref.istft(mag.astype(np.complex128), 48 * P.hop_length, P)
