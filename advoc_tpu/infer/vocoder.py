@@ -280,6 +280,16 @@ class StreamingVocoder:
     tiny input perturbations — but spectral fidelity is measured unchanged
     (mel L1 0.0586 fp16 vs 0.0596 f32 on the fixture set; quality-parity
     test in tests/test_infer.py).
+
+    ``phase_engine``: ``"gl"`` (default) = per-chunk Griffin-Lim with the
+    RTISI-style cross-chunk phase carry and waveform crossfade — the
+    throughput path. ``"lws_online"`` = true causal streaming LWS
+    (``spectral.lws_online_push`` + carried streaming iSTFT): globally
+    phase-coherent output with NO crossfade heuristic, equal to offline
+    ``lws_online`` of the whole utterance delayed by ``lws_look_ahead``
+    frames (tested); each stream's first ``preroll_samples`` emitted
+    samples are the one-time center-pad pre-roll to drop. Slower on device
+    (sequential per-frame updates) — the causality/exactness option.
     """
 
     def __init__(
@@ -293,6 +303,9 @@ class StreamingVocoder:
         n_streams: int = 1,
         emit_dtype: str = "float32",
         mel_dtype: str = "float32",
+        phase_engine: str = "gl",
+        lws_look_ahead: int = 2,
+        lws_sweeps: int = 2,
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -305,15 +318,68 @@ class StreamingVocoder:
             raise ValueError(f"unknown emit_dtype {emit_dtype!r}")
         if mel_dtype not in ("float32", "float16"):
             raise ValueError(f"unknown mel_dtype {mel_dtype!r}")
+        if phase_engine not in ("gl", "lws_online"):
+            raise ValueError(f"unknown phase_engine {phase_engine!r}")
         self.emit_dtype = emit_dtype
         self.mel_dtype = np.dtype(mel_dtype)
+        self.phase_engine = phase_engine
+        self.lws_look_ahead = lws_look_ahead
+        self.lws_sweeps = lws_sweeps
         # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
         # only host transfer per chunk is the emitted waveform) — per-push
         # host round-trips of tail+phase were measurable over the axon
         # tunnel.
         self._state_wav: Array | None = None  # (n, ov) pending overlap tails
         self._state_phase: tuple | None = None  # last frames' unit phase (n, F)
+        self._state_lws: tuple | None = None  # lws_online_push carry
+        self._state_ola: tuple | None = None  # istft_stream_push carry
         p = params
+
+        if phase_engine == "lws_online":
+            # Causal streaming phase engine: the chunk's frames ARRIVE into a
+            # live online-LWS stream (spectral.lws_online_push) and the
+            # finalized frames overlap-add through a carried streaming iSTFT
+            # — phase is globally coherent by construction, so there is no
+            # waveform crossfade and no RTISI extrapolation heuristic; the
+            # emitted stream equals offline `lws_online` of the whole
+            # utterance, delayed by look_ahead frames (plus the one-time
+            # n_fft//2 pre-roll — dropped host-side at each stream start).
+            # Chunking is semantics-free (tested bit-exact across chunk
+            # sizes). Trade: per-frame sequential updates make it slower on
+            # device than the G-L engine — it is the causality/exactness
+            # option, not the throughput default.
+            def run(g_params, mel: Array, s_re, s_im, mbuf, ola, wsum):
+                est = spectral.r9y9_melspec_to_magspec(
+                    mel.astype(jnp.float32), p
+                )
+                est_norm = spectral.normalize_db(
+                    spectral.amp_to_db(est, p) - p.ref_level_db, p
+                )
+                mag_norm = (
+                    self.g_apply(g_params, est_norm)
+                    if self.g_apply is not None
+                    else est_norm
+                )
+                mag = spectral.db_to_amp(
+                    spectral.denormalize_db(mag_norm, p) + p.ref_level_db
+                )
+                (em_re, em_im), (s_re, s_im, mbuf) = spectral.lws_online_push(
+                    mag, (s_re, s_im, mbuf), n_sweeps=lws_sweeps,
+                    look_ahead=lws_look_ahead, params=p,
+                )
+                emit, (ola, wsum) = spectral.istft_stream_push(
+                    jax.lax.complex(em_re, em_im), (ola, wsum), p
+                )
+                if self.emit_dtype == "int16":
+                    emit = jnp.round(
+                        jnp.clip(emit, -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                return emit, s_re, s_im, mbuf, ola, wsum
+
+            self._run = jax.jit(run)
+            self._ov_samps = overlap_frames * p.hop_length
+            self.preroll_samples = p.n_fft // 2  # drop at each stream start
+            return
 
         ov_samps = overlap_frames * p.hop_length
         fade = jnp.asarray(np.linspace(0.0, 1.0, ov_samps, dtype=np.float32))
@@ -368,6 +434,7 @@ class StreamingVocoder:
 
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
+        self.preroll_samples = 0  # gl engine emits signal-aligned samples
 
     def _fresh_state(self):
         n, f = self.n_streams, self.params.n_freq
@@ -378,7 +445,22 @@ class StreamingVocoder:
 
     def reset(self, stream: int | None = None):
         """Reset all streams (default) or one stream's slot for a new
-        utterance (tail → silence, phase → the zero-phase start)."""
+        utterance (tail → silence, phase → the zero-phase start). With the
+        ``lws_online`` engine, a freshly-reset stream's next emissions start
+        with its ``n_fft // 2`` pre-roll samples again (see :meth:`push`)."""
+        if self.phase_engine == "lws_online":
+            if stream is None or self._state_lws is None:
+                self._state_lws = None
+                self._state_ola = None
+                return
+            s_re, s_im, mb = self._state_lws
+            self._state_lws = (
+                s_re.at[stream].set(0.0), s_im.at[stream].set(0.0),
+                mb.at[stream].set(0.0),
+            )
+            ola, ws = self._state_ola
+            self._state_ola = (ola.at[stream].set(0.0), ws.at[stream].set(0.0))
+            return
         if stream is None or self._state_wav is None:
             self._state_wav = None
             self._state_phase = None
@@ -409,6 +491,29 @@ class StreamingVocoder:
         assert mel_chunk.shape[:2] == (self.n_streams, self.chunk), (
             mel_chunk.shape, self.n_streams, self.chunk
         )
+        if self.phase_engine == "lws_online":
+            # Emits exactly chunk·hop samples per stream per push, equal to
+            # offline `lws_online` of the concatenated mels delayed by
+            # look_ahead frames — except each stream's FIRST n_fft//2
+            # emitted samples (`self.preroll_samples`) are the center-pad
+            # pre-roll, which the caller drops once per stream start.
+            if self._state_lws is None:
+                self._state_lws = spectral.lws_online_init(
+                    self.n_streams, self.lws_look_ahead, self.params
+                )
+            if self._state_ola is None:
+                self._state_ola = spectral.istft_stream_init(
+                    self.n_streams, self.params
+                )
+            s_re, s_im, mb = self._state_lws
+            ola, ws = self._state_ola
+            emit, s_re, s_im, mb, ola, ws = self._run(
+                self.g_params, mel_chunk, s_re, s_im, mb, ola, ws
+            )
+            self._state_lws = (s_re, s_im, mb)
+            self._state_ola = (ola, ws)
+            out = np.asarray(emit)
+            return out[0] if squeeze else out
         # Tail and phase carries initialize independently (tests ablate the
         # phase carry alone by setting _state_phase = None).
         if self._state_wav is None:

@@ -213,6 +213,75 @@ def istft(spec: Array, length: int, params: AudioParams = DEFAULT_PARAMS) -> Arr
     return y.reshape(lead + (length,))
 
 
+def istft_stream_init(
+    n_streams: int, params: AudioParams = DEFAULT_PARAMS
+):
+    """Fresh carry for :func:`istft_stream_push`.
+
+    Carry = (ola_tail (B, (r−1)·hop), wsum_tail (B, (r−1)·hop)) — the
+    pending overlap-add beyond the last emitted sample and the matching
+    running window-sum (streamed rather than precomputed, and per-stream,
+    so the stream-start partial NOLA normalization is exact even when one
+    stream slot is reset mid-batch; it converges to a constant after the
+    first push).
+    """
+    hop, n_fft = params.hop_length, params.n_fft
+    assert n_fft % hop == 0, "streaming iSTFT needs hop | n_fft"
+    r = n_fft // hop
+    z = jnp.zeros((n_streams, (r - 1) * hop), jnp.float32)
+    return (z, jnp.zeros_like(z))
+
+
+def istft_stream_push(
+    spec_chunk: Array, carry, params: AudioParams = DEFAULT_PARAMS
+):
+    """Overlap-add C frames into a live iSTFT stream; emit C·hop samples.
+
+    (B, C, n_freq) complex frames + carry → ((B, C·hop) samples, carry).
+    Emission is in *padded* coordinates: the very first ``n_fft // 2``
+    samples a stream emits precede t = 0 (the center-padding pre-roll —
+    callers drop them once); after that, emitted samples match
+    :func:`istft` of the same frame stream exactly, including the partial-
+    window-sum normalization at the stream start (the wsum is carried, not
+    assumed interior). Ending a stream mid-flight leaves the final
+    ``(r−1)·hop`` samples in the carry — :func:`istft_stream_flush` emits
+    them with the end-corrected normalization.
+    """
+    hop, n_fft = params.hop_length, params.n_fft
+    r = n_fft // hop
+    ola_tail, wsum_tail = carry
+    b, c, _ = spec_chunk.shape
+    frames = jnp.fft.irfft(spec_chunk, n=n_fft, axis=-1)
+    win = jnp.asarray(_consts(params)["window"], dtype=jnp.float32)
+    blocks = (frames * win).reshape(b, c, r, hop)
+    y = jnp.zeros((b, c + r - 1, hop), jnp.float32)
+    for k in range(r):
+        y = y.at[:, k : k + c].add(blocks[:, :, k, :])
+    y = y.reshape(b, (c + r - 1) * hop)
+    y = y.at[:, : (r - 1) * hop].add(ola_tail)
+    # Window-sum: static per-push profile (all C frames present) + the tail.
+    wsq = _consts(params)["window_sq"]
+    wstat = np.zeros(((c + r - 1) * hop,), np.float64)
+    for i in range(c):
+        wstat[i * hop : i * hop + n_fft] += wsq
+    wsum = jnp.asarray(wstat, jnp.float32)[None] + jnp.pad(
+        wsum_tail, ((0, 0), (0, c * hop))
+    )
+    emit = y[:, : c * hop] / jnp.maximum(wsum[:, : c * hop], 1e-11)
+    return emit, (y[:, c * hop :], wsum[:, c * hop :])
+
+
+def istft_stream_flush(carry, params: AudioParams = DEFAULT_PARAMS):
+    """Emit a stream's pending ``(r−1)·hop`` tail samples (end-normalized).
+
+    Matches :func:`istft`'s treatment of the final frames: the tail is
+    normalized by the as-carried partial window-sum, exactly what the
+    offline NOLA normalization does past the last frame's hop block.
+    """
+    ola_tail, wsum_tail = carry
+    return ola_tail / jnp.maximum(wsum_tail, 1e-11)
+
+
 # ---------------------------------------------------------------------------
 # r9y9 mel extraction + heuristic inversion.
 # ---------------------------------------------------------------------------
@@ -725,6 +794,90 @@ def _lws_online_consts(
     return tuple(out)
 
 
+def _lws_online_step(csts: tuple, n_sweeps: int, look_ahead: int,
+                     include_self: bool):
+    """Build the one-frame-arrival scan step shared by :func:`lws_online`
+    (whole signal in one scan) and :func:`lws_online_push` (chunked carry).
+
+    Carry: ``(s_re, s_im, mbuf)`` — the rolling complex window (B, W, F)
+    with the head at index ``la+Q−1`` and Q−1 always-zero future slots, and
+    the (B, la+1, F) magnitudes of the still-refining frames. Emits the
+    frame leaving the refinement window (final: nothing ever writes it
+    again); the first ``look_ahead`` emissions of a stream are exact zeros
+    (pre-signal frames with zero magnitude — the algorithmic latency).
+    """
+    Q = csts[0]["Q"]
+    la = look_ahead
+    H = la + Q - 1
+
+    def step(carry, mg_new):
+        s_re, s_im, mbuf = carry
+        Bn, _, F = s_re.shape
+        zero = jnp.zeros((Bn, 1, F), jnp.float32)
+        s_re = jnp.concatenate([s_re[:, 1:], zero], axis=1)
+        s_im = jnp.concatenate([s_im[:, 1:], zero], axis=1)
+        mbuf = jnp.concatenate([mbuf[:, 1:], mg_new[:, None]], axis=1)
+        s_re = s_re.at[:, H].set(mg_new)  # zero-phase arrival (im already 0)
+        for _ in range(n_sweeps):
+            for d in range(la, -1, -1):  # oldest → newest (Gauss-Seidel)
+                k = H - d
+                win_re = s_re[:, k - (Q - 1) : k + Q]
+                win_im = s_im[:, k - (Q - 1) : k + Q]
+                new_re, new_im = _lws_update(
+                    win_re, win_im, mbuf[:, la - d], csts[d], include_self
+                )
+                s_re = s_re.at[:, k].set(new_re)
+                s_im = s_im.at[:, k].set(new_im)
+        return (s_re, s_im, mbuf), (s_re[:, H - la], s_im[:, H - la])
+
+    return step
+
+
+def lws_online_init(
+    n_streams: int,
+    look_ahead: int = 2,
+    params: AudioParams = DEFAULT_PARAMS,
+):
+    """Fresh carry for :func:`lws_online_push` (all-zero buffers)."""
+    Q = params.n_fft // params.hop_length
+    F = params.n_freq
+    W = look_ahead + 2 * Q - 1
+    z = jnp.zeros((n_streams, W, F), jnp.float32)
+    mb = jnp.zeros((n_streams, look_ahead + 1, F), jnp.float32)
+    return (z, jnp.zeros_like(z), mb)
+
+
+def lws_online_push(
+    mag_chunk: Array,
+    carry,
+    n_sweeps: int = 2,
+    look_ahead: int = 2,
+    asymmetric: bool = True,
+    band: int = 3,
+    corner: int = 8,
+    include_self: bool = False,
+    params: AudioParams = DEFAULT_PARAMS,
+):
+    """Feed C arriving frames into a live online-LWS stream.
+
+    (B, C, F) magnitudes + carry → ``((emit_re, emit_im), carry)`` where
+    emit_* are the (B, C, F) FINALIZED frames — emitted frame c is global
+    frame ``total_pushed − C + c − look_ahead``; the first ``look_ahead``
+    frames a stream ever emits are exact zeros (latency). Chunking is
+    semantics-free: pushing a signal in any chunk sizes emits the same
+    frames as one :func:`lws_online` scan over the whole signal (tested).
+    Carries are (B, ·, F) jax Arrays — keep them device-resident between
+    pushes, one fixed-shape jit per chunk.
+    """
+    csts = _lws_online_consts(params, band, corner, look_ahead, asymmetric)
+    step = _lws_online_step(csts, n_sweeps, look_ahead, include_self)
+    magb = mag_chunk.astype(jnp.float32)
+    carry, (ys_re, ys_im) = jax.lax.scan(
+        step, carry, jnp.moveaxis(magb, 1, 0)
+    )
+    return (jnp.moveaxis(ys_re, 0, 1), jnp.moveaxis(ys_im, 0, 1)), carry
+
+
 def lws_online(
     mag: Array,
     length: int | None = None,
@@ -767,32 +920,9 @@ def lws_online(
     if T <= la:
         raise ValueError(f"need T > look_ahead (got T={T}, la={la})")
     H = la + Q - 1  # head index in the rolling buffer
-    W = la + 2 * Q - 1  # buffer: frames m−(la+Q−1)…m+(Q−1); tail Q−1 = future → 0
-    s_re0 = jnp.zeros((Bn, W, F), jnp.float32)
-    s_im0 = jnp.zeros_like(s_re0)
-    mbuf0 = jnp.zeros((Bn, la + 1, F), jnp.float32)
-
-    def step(carry, mg_new):
-        s_re, s_im, mbuf = carry
-        zero = jnp.zeros((Bn, 1, F), jnp.float32)
-        s_re = jnp.concatenate([s_re[:, 1:], zero], axis=1)
-        s_im = jnp.concatenate([s_im[:, 1:], zero], axis=1)
-        mbuf = jnp.concatenate([mbuf[:, 1:], mg_new[:, None]], axis=1)
-        s_re = s_re.at[:, H].set(mg_new)  # zero-phase arrival (im already 0)
-        for _ in range(n_sweeps):
-            for d in range(la, -1, -1):  # oldest → newest (Gauss-Seidel)
-                k = H - d
-                win_re = s_re[:, k - (Q - 1) : k + Q]
-                win_im = s_im[:, k - (Q - 1) : k + Q]
-                new_re, new_im = _lws_update(
-                    win_re, win_im, mbuf[:, la - d], csts[d], include_self
-                )
-                s_re = s_re.at[:, k].set(new_re)
-                s_im = s_im.at[:, k].set(new_im)
-        return (s_re, s_im, mbuf), (s_re[:, H - la], s_im[:, H - la])
-
+    step = _lws_online_step(csts, n_sweeps, la, include_self)
     (s_re, s_im, _), (ys_re, ys_im) = jax.lax.scan(
-        step, (s_re0, s_im0, mbuf0), jnp.moveaxis(magb, 1, 0)
+        step, lws_online_init(Bn, la, params), jnp.moveaxis(magb, 1, 0)
     )
     # Step m emits frame m−la (final); the last la frames stay in the buffer.
     head_re = jnp.moveaxis(ys_re[la:], 0, 1)  # frames 0…T−1−la

@@ -121,6 +121,31 @@ class TestSTFT:
         got = np.asarray(sp.istft(jnp.asarray(spec, jnp.complex64), len(wav), P))
         np.testing.assert_allclose(got, gold, atol=1e-4)
 
+    def test_istft_stream_matches_offline(self):
+        """Chunked `istft_stream_push` (+flush) must reproduce offline
+        `istft` exactly — including the carried partial-window-sum
+        normalization at the stream start; the first n_fft//2 emitted
+        samples are the center-pad pre-roll (dropped for comparison)."""
+        rng = np.random.default_rng(3)
+        T = 32
+        S = (
+            rng.standard_normal((T, P.n_freq))
+            + 1j * rng.standard_normal((T, P.n_freq))
+        ).astype(np.complex64)
+        off = np.asarray(sp.istft(jnp.asarray(S), T * P.hop_length, P))
+        carry = sp.istft_stream_init(1, P)
+        push = jax.jit(lambda s, c: sp.istft_stream_push(s, c, P))
+        outs = []
+        for c0 in range(0, T, 8):
+            e, carry = push(jnp.asarray(S[None, c0 : c0 + 8]), carry)
+            outs.append(np.asarray(e[0]))
+        outs.append(np.asarray(sp.istft_stream_flush(carry, P)[0]))
+        stream = np.concatenate(outs)
+        pad = P.n_fft // 2
+        np.testing.assert_allclose(
+            stream[pad : pad + T * P.hop_length], off, atol=1e-5
+        )
+
 
 # ---------------------------------------------------------------------------
 # r9y9 mel extraction + heuristic inversion golden
@@ -372,6 +397,38 @@ class TestLWSOnline:
         np.testing.assert_allclose(
             np.asarray(via_method), np.asarray(direct), atol=1e-6
         )
+
+    def test_push_matches_offline_scan(self, wav):
+        """Chunked `lws_online_push` must emit the same frames as one
+        offline scan — and chunking must be semantics-free (bit-level
+        chunk-size invariance: same per-step ops regardless of chunk)."""
+        la, sw = 2, 2
+        mag = np.asarray(ref.waveform_to_magspec(wav, P)[:24], np.float32)
+
+        def run_chunked(cs):
+            carry = sp.lws_online_init(1, la, P)
+            push = jax.jit(
+                lambda m, c: sp.lws_online_push(
+                    m, c, n_sweeps=sw, look_ahead=la, params=P
+                )
+            )
+            ems = []
+            for c0 in range(0, 24, cs):
+                (er, ei), carry = push(
+                    jnp.asarray(mag[None, c0 : c0 + cs]), carry
+                )
+                ems.append(np.asarray(er[0]) + 1j * np.asarray(ei[0]))
+            return np.concatenate(ems, 0)
+
+        em8, em4 = run_chunked(8), run_chunked(4)
+        assert np.abs(em8[:la]).max() == 0.0  # latency frames: exact zeros
+        np.testing.assert_allclose(em4, em8, atol=1e-6)
+        _, gold = ref.lws_online(
+            mag.astype(np.float64), n_sweeps=sw, look_ahead=la, params=P,
+            return_spec=True,
+        )
+        rel = np.abs(em8[la:] - gold[: 24 - la]).max() / np.abs(gold).max()
+        assert rel < 2e-3, rel
 
     def test_reduces_consistency_error(self, wav):
         mag = ref.waveform_to_magspec(wav, P)[:48]
