@@ -290,6 +290,13 @@ class StreamingVocoder:
     frames (tested); each stream's first ``preroll_samples`` emitted
     samples are the one-time center-pad pre-roll to drop. Slower on device
     (sequential per-frame updates) — the causality/exactness option.
+    ``mel_context=c`` additionally carries 2c mel frames so the generator
+    sees ≥c frames of context on BOTH sides of every frame it contributes
+    (the gl engine hides per-chunk conv edge artifacts with its waveform
+    crossfade; the lws engine removes them at the source), at +c frames of
+    latency — total ``latency_frames = lws_look_ahead + mel_context``.
+    ``chunk_frames + 2·mel_context`` must satisfy the generator's shape
+    constraint (U-Net: divisible by 2^depth).
     """
 
     def __init__(
@@ -306,6 +313,7 @@ class StreamingVocoder:
         phase_engine: str = "gl",
         lws_look_ahead: int = 2,
         lws_sweeps: int = 2,
+        mel_context: int = 0,
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -320,11 +328,19 @@ class StreamingVocoder:
             raise ValueError(f"unknown mel_dtype {mel_dtype!r}")
         if phase_engine not in ("gl", "lws_online"):
             raise ValueError(f"unknown phase_engine {phase_engine!r}")
+        if mel_context and phase_engine != "lws_online":
+            raise ValueError(
+                "mel_context is a lws_online-engine option (the gl engine "
+                "handles chunk boundaries with its waveform crossfade)"
+            )
+        if not 0 <= mel_context <= chunk_frames:
+            raise ValueError(f"mel_context must be in [0, chunk_frames]")
         self.emit_dtype = emit_dtype
         self.mel_dtype = np.dtype(mel_dtype)
         self.phase_engine = phase_engine
         self.lws_look_ahead = lws_look_ahead
         self.lws_sweeps = lws_sweeps
+        self.mel_context = mel_context
         # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
         # only host transfer per chunk is the emitted waveform) — per-push
         # host round-trips of tail+phase were measurable over the axon
@@ -333,6 +349,7 @@ class StreamingVocoder:
         self._state_phase: tuple | None = None  # last frames' unit phase (n, F)
         self._state_lws: tuple | None = None  # lws_online_push carry
         self._state_ola: tuple | None = None  # istft_stream_push carry
+        self._state_mel: Array | None = None  # (n, 2·ctx, M) mel context
         p = params
 
         if phase_engine == "lws_online":
@@ -348,10 +365,23 @@ class StreamingVocoder:
             # sizes). Trade: per-frame sequential updates make it slower on
             # device than the G-L engine — it is the causality/exactness
             # option, not the throughput default.
-            def run(g_params, mel: Array, s_re, s_im, mbuf, ola, wsum):
-                est = spectral.r9y9_melspec_to_magspec(
-                    mel.astype(jnp.float32), p
+            ctx = mel_context
+
+            def run(g_params, mel: Array, mel_ctx, s_re, s_im, mbuf,
+                    ola, wsum):
+                # mel_context: the generator sees [prev 2·ctx frames, chunk]
+                # and only the interior slice [ctx : ctx+chunk] — frames
+                # with ≥ctx frames of context on BOTH sides — enters the
+                # phase stream (the last ctx frames of this chunk wait for
+                # the next push). This removes the per-chunk conv edge
+                # artifacts the gl engine hides with its waveform
+                # crossfade, at +ctx frames of latency. Stream start: the
+                # zero carry is silence-level mel (normalized 0.0 == min
+                # dB), the same convention Vocoder pads with.
+                mel_in = jnp.concatenate(
+                    [mel_ctx, mel.astype(jnp.float32)], axis=1
                 )
+                est = spectral.r9y9_melspec_to_magspec(mel_in, p)
                 est_norm = spectral.normalize_db(
                     spectral.amp_to_db(est, p) - p.ref_level_db, p
                 )
@@ -363,6 +393,9 @@ class StreamingVocoder:
                 mag = spectral.db_to_amp(
                     spectral.denormalize_db(mag_norm, p) + p.ref_level_db
                 )
+                if ctx:
+                    mag = mag[:, ctx : ctx + self.chunk]
+                    mel_ctx = mel_in[:, -2 * ctx :]
                 (em_re, em_im), (s_re, s_im, mbuf) = spectral.lws_online_push(
                     mag, (s_re, s_im, mbuf), n_sweeps=lws_sweeps,
                     look_ahead=lws_look_ahead, params=p,
@@ -374,11 +407,12 @@ class StreamingVocoder:
                     emit = jnp.round(
                         jnp.clip(emit, -1.0, 1.0) * 32767.0
                     ).astype(jnp.int16)
-                return emit, s_re, s_im, mbuf, ola, wsum
+                return emit, mel_ctx, s_re, s_im, mbuf, ola, wsum
 
             self._run = jax.jit(run)
             self._ov_samps = overlap_frames * p.hop_length
             self.preroll_samples = p.n_fft // 2  # drop at each stream start
+            self.latency_frames = lws_look_ahead + ctx
             return
 
         ov_samps = overlap_frames * p.hop_length
@@ -435,6 +469,7 @@ class StreamingVocoder:
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
         self.preroll_samples = 0  # gl engine emits signal-aligned samples
+        self.latency_frames = 0  # (its latency model is the crossfade tail)
 
     def _fresh_state(self):
         n, f = self.n_streams, self.params.n_freq
@@ -452,6 +487,7 @@ class StreamingVocoder:
             if stream is None or self._state_lws is None:
                 self._state_lws = None
                 self._state_ola = None
+                self._state_mel = None
                 return
             s_re, s_im, mb = self._state_lws
             self._state_lws = (
@@ -460,6 +496,8 @@ class StreamingVocoder:
             )
             ola, ws = self._state_ola
             self._state_ola = (ola.at[stream].set(0.0), ws.at[stream].set(0.0))
+            if self._state_mel is not None:
+                self._state_mel = self._state_mel.at[stream].set(0.0)
             return
         if stream is None or self._state_wav is None:
             self._state_wav = None
@@ -505,13 +543,20 @@ class StreamingVocoder:
                 self._state_ola = spectral.istft_stream_init(
                     self.n_streams, self.params
                 )
+            if self._state_mel is None:
+                self._state_mel = jnp.zeros(
+                    (self.n_streams, 2 * self.mel_context, self.params.n_mels),
+                    jnp.float32,
+                )
             s_re, s_im, mb = self._state_lws
             ola, ws = self._state_ola
-            emit, s_re, s_im, mb, ola, ws = self._run(
-                self.g_params, mel_chunk, s_re, s_im, mb, ola, ws
+            emit, mel_ctx, s_re, s_im, mb, ola, ws = self._run(
+                self.g_params, mel_chunk, self._state_mel,
+                s_re, s_im, mb, ola, ws,
             )
             self._state_lws = (s_re, s_im, mb)
             self._state_ola = (ola, ws)
+            self._state_mel = mel_ctx
             out = np.asarray(emit)
             return out[0] if squeeze else out
         # Tail and phase carries initialize independently (tests ablate the

@@ -378,6 +378,47 @@ class TestStreamingLWSEngine:
             out = sv.push(np.stack([mel[c], mel[c]]))
             np.testing.assert_array_equal(out[0], out[1])
 
+    def test_mel_context_validation(self):
+        with pytest.raises(ValueError):
+            StreamingVocoder(params=P, phase_engine="gl", mel_context=4)
+        with pytest.raises(ValueError):
+            StreamingVocoder(
+                params=P, chunk_frames=16, phase_engine="lws_online",
+                mel_context=17,
+            )
+
+    @pytest.mark.parametrize("ctx", [0, 4])
+    def test_mel_context_alignment(self, ctx):
+        """mel_context delays emission by exactly ctx frames, and
+        `latency_frames` accounts for it: an impulse-like mel event must
+        land at its own frame position after alignment, for any ctx."""
+        chunks = 4
+        mel = np.zeros((chunks * self.CH, P.n_mels), np.float32)
+        ev = 37  # event frames 37..39, well inside chunk 3 of 4
+        mel[ev : ev + 3] = 0.9
+        sv = StreamingVocoder(
+            params=P, chunk_frames=self.CH, phase_engine="lws_online",
+            lws_look_ahead=self.LA, lws_sweeps=self.SW, mel_context=ctx,
+        )
+        assert sv.latency_frames == self.LA + ctx
+        outs = [
+            sv.push(mel[c * self.CH : (c + 1) * self.CH])
+            for c in range(chunks)
+        ]
+        stream = np.concatenate(outs)
+        sig = stream[
+            sv.preroll_samples + sv.latency_frames * P.hop_length :
+        ]
+        hop = P.hop_length
+        e = np.array([
+            (sig[k * hop : (k + 1) * hop] ** 2).sum()
+            for k in range(len(sig) // hop)
+        ])
+        peak = int(np.argmax(e))
+        assert abs(peak - (ev + 1)) <= 2, (peak, ev, ctx)
+        # and the pre-event region is near-silent (amp-floor level)
+        assert e[: ev - 4].max() < 1e-3 * e.max(), ctx
+
     def test_per_stream_reset_is_row_independent(self):
         mel_a = self._mel(2, seed=4)
         mel_b = self._mel(2, seed=5)
