@@ -288,8 +288,12 @@ class StreamingVocoder:
     phase-coherent output with NO crossfade heuristic, equal to offline
     ``lws_online`` of the whole utterance delayed by ``lws_look_ahead``
     frames (tested); each stream's first ``preroll_samples`` emitted
-    samples are the one-time center-pad pre-roll to drop. Slower on device
-    (sequential per-frame updates) — the causality/exactness option.
+    samples are the one-time center-pad pre-roll to drop. On the trained
+    generator it is the QUALITY streaming engine: mel L1 0.0122 at 2-frame
+    (23 ms) look-ahead vs 0.0694 for the gl engine at any iteration count —
+    the gl ceiling is its per-chunk independent phase solve, which the
+    globally coherent stream removes (BASELINE.md). Trade: sequential
+    per-frame updates cost more device time per push.
     ``mel_context=c`` additionally carries 2c mel frames so the generator
     sees ≥c frames of context on BOTH sides of every frame it contributes
     (the gl engine hides per-chunk conv edge artifacts with its waveform
