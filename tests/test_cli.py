@@ -145,3 +145,36 @@ class TestVocodeCLI:
             "--model_overrides", TINY, "--gl_iters", "1",
         ])
         assert len(list((tmp_path / "out").glob("*.wav"))) == 1
+
+
+class TestStreamServeCLI:
+    """scripts/stream_serve.py — the serving-loop demo/benchmark harness."""
+
+    def _run(self, capsys, extra):
+        import json
+        import sys
+
+        sys.path.insert(0, "scripts")
+        import stream_serve
+
+        stream_serve.main([
+            "--chunk_frames", "16", "--pushes", "4", "--fidelity",
+        ] + extra)
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines()
+                if l.startswith("STREAM_SERVE_RESULT ")][0]
+        return json.loads(line[len("STREAM_SERVE_RESULT "):])
+
+    def test_gl_engine_heuristic(self, capsys):
+        r = self._run(capsys, ["--engine", "gl", "--gl_iters", "2"])
+        assert r["engine"] == "gl" and r["pushes"] == 4
+        assert r["p50_ms"] > 0 and r["mel_l1"] < 0.2
+
+    def test_lws_engine_multistream(self, capsys):
+        r = self._run(capsys, [
+            "--engine", "lws_online", "--n_streams", "2",
+            "--lws_sweeps", "1", "--lws_look_ahead", "1",
+        ])
+        assert r["n_streams"] == 2
+        assert r["ms_per_stream"] == pytest.approx(r["p50_ms"] / 2)
+        assert r["mel_l1"] < 0.2
