@@ -133,18 +133,20 @@ class TestSTFT:
             + 1j * rng.standard_normal((T, P.n_freq))
         ).astype(np.complex64)
         off = np.asarray(sp.istft(jnp.asarray(S), T * P.hop_length, P))
-        carry = sp.istft_stream_init(1, P)
-        push = jax.jit(lambda s, c: sp.istft_stream_push(s, c, P))
-        outs = []
-        for c0 in range(0, T, 8):
-            e, carry = push(jnp.asarray(S[None, c0 : c0 + 8]), carry)
-            outs.append(np.asarray(e[0]))
-        outs.append(np.asarray(sp.istft_stream_flush(carry, P)[0]))
-        stream = np.concatenate(outs)
-        pad = P.n_fft // 2
-        np.testing.assert_allclose(
-            stream[pad : pad + T * P.hop_length], off, atol=1e-5
-        )
+        for cs in (8, 2):  # incl. chunks smaller than the (r−1)-frame overlap
+            carry = sp.istft_stream_init(1, P)
+            push = jax.jit(lambda s, c: sp.istft_stream_push(s, c, P))
+            outs = []
+            for c0 in range(0, T, cs):
+                e, carry = push(jnp.asarray(S[None, c0 : c0 + cs]), carry)
+                outs.append(np.asarray(e[0]))
+            outs.append(np.asarray(sp.istft_stream_flush(carry, P)[0]))
+            stream = np.concatenate(outs)
+            pad = P.n_fft // 2
+            np.testing.assert_allclose(
+                stream[pad : pad + T * P.hop_length], off, atol=1e-5,
+                err_msg=f"chunk={cs}",
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -420,9 +422,10 @@ class TestLWSOnline:
                 ems.append(np.asarray(er[0]) + 1j * np.asarray(ei[0]))
             return np.concatenate(ems, 0)
 
-        em8, em4 = run_chunked(8), run_chunked(4)
+        em8, em4, em1 = run_chunked(8), run_chunked(4), run_chunked(1)
         assert np.abs(em8[:la]).max() == 0.0  # latency frames: exact zeros
         np.testing.assert_allclose(em4, em8, atol=1e-6)
+        np.testing.assert_allclose(em1, em8, atol=1e-6)  # frame-by-frame
         _, gold = ref.lws_online(
             mag.astype(np.float64), n_sweeps=sw, look_ahead=la, params=P,
             return_spec=True,
