@@ -294,6 +294,17 @@ class StreamingVocoder:
     the gl ceiling is its per-chunk independent phase solve, which the
     globally coherent stream removes (BASELINE.md). Trade: sequential
     per-frame updates cost more device time per push.
+    ``"lws_block"`` = the same globally coherent LWS stream with the
+    block-parallel arrival schedule (``spectral.lws_block_push``): the whole
+    chunk enters at once and ``lws_sweeps`` multicolor Gauss-Seidel sweeps
+    (``lws_colors`` colors, phase-advance init) refine all mutable frames in
+    batched updates — sequential depth per push drops from
+    ``chunk·sweeps·(look_ahead+1)`` to ``sweeps·colors`` (384 → 12 at the
+    serving shape), which is the device-time fix for the lws engine's
+    per-frame scan. Same carry, latency, and pre-roll contract as
+    ``lws_online``; the trade is that chunking is no longer semantics-free
+    (the sweep schedule sees chunk boundaries) and near-head frames use the
+    symmetric interior kernels (BASELINE.md quality table).
     ``mel_context=c`` additionally carries 2c mel frames so the generator
     sees ≥c frames of context on BOTH sides of every frame it contributes
     (the gl engine hides per-chunk conv edge artifacts with its waveform
@@ -316,7 +327,9 @@ class StreamingVocoder:
         mel_dtype: str = "float32",
         phase_engine: str = "gl",
         lws_look_ahead: int = 2,
-        lws_sweeps: int = 2,
+        lws_sweeps: int | None = None,
+        lws_colors: int = 4,
+        lws_init: str = "advance",
         mel_context: int = 0,
     ):
         self.params = params
@@ -330,11 +343,12 @@ class StreamingVocoder:
             raise ValueError(f"unknown emit_dtype {emit_dtype!r}")
         if mel_dtype not in ("float32", "float16"):
             raise ValueError(f"unknown mel_dtype {mel_dtype!r}")
-        if phase_engine not in ("gl", "lws_online"):
+        if phase_engine not in ("gl", "lws_online", "lws_block"):
             raise ValueError(f"unknown phase_engine {phase_engine!r}")
-        if mel_context and phase_engine != "lws_online":
+        self._lws_engine = phase_engine in ("lws_online", "lws_block")
+        if mel_context and not self._lws_engine:
             raise ValueError(
-                "mel_context is a lws_online-engine option (the gl engine "
+                "mel_context is a lws-engine option (the gl engine "
                 "handles chunk boundaries with its waveform crossfade)"
             )
         if not 0 <= mel_context <= chunk_frames:
@@ -343,7 +357,15 @@ class StreamingVocoder:
         self.mel_dtype = np.dtype(mel_dtype)
         self.phase_engine = phase_engine
         self.lws_look_ahead = lws_look_ahead
+        # Measured quality defaults (BASELINE.md): the sequential engine
+        # reaches its floor at 2 sweeps; the block schedule needs ~4 sweeps
+        # for within-7% quality (6 for parity) — still 24×/16× less
+        # sequential depth per chunk.
+        if lws_sweeps is None:
+            lws_sweeps = 4 if phase_engine == "lws_block" else 2
         self.lws_sweeps = lws_sweeps
+        self.lws_colors = lws_colors
+        self.lws_init = lws_init
         self.mel_context = mel_context
         # Carry state stays DEVICE-resident between pushes (jax.Arrays; the
         # only host transfer per chunk is the emitted waveform) — per-push
@@ -356,7 +378,7 @@ class StreamingVocoder:
         self._state_mel: Array | None = None  # (n, 2·ctx, M) mel context
         p = params
 
-        if phase_engine == "lws_online":
+        if self._lws_engine:
             # Causal streaming phase engine: the chunk's frames ARRIVE into a
             # live online-LWS stream (spectral.lws_online_push) and the
             # finalized frames overlap-add through a carried streaming iSTFT
@@ -400,10 +422,21 @@ class StreamingVocoder:
                 if ctx:
                     mag = mag[:, ctx : ctx + self.chunk]
                     mel_ctx = mel_in[:, -2 * ctx :]
-                (em_re, em_im), (s_re, s_im, mbuf) = spectral.lws_online_push(
-                    mag, (s_re, s_im, mbuf), n_sweeps=lws_sweeps,
-                    look_ahead=lws_look_ahead, params=p,
-                )
+                if phase_engine == "lws_block":
+                    (em_re, em_im), (s_re, s_im, mbuf) = (
+                        spectral.lws_block_push(
+                            mag, (s_re, s_im, mbuf), n_sweeps=lws_sweeps,
+                            look_ahead=lws_look_ahead, colors=lws_colors,
+                            init=lws_init, params=p,
+                        )
+                    )
+                else:
+                    (em_re, em_im), (s_re, s_im, mbuf) = (
+                        spectral.lws_online_push(
+                            mag, (s_re, s_im, mbuf), n_sweeps=lws_sweeps,
+                            look_ahead=lws_look_ahead, params=p,
+                        )
+                    )
                 emit, (ola, wsum) = spectral.istft_stream_push(
                     jax.lax.complex(em_re, em_im), (ola, wsum), p
                 )
@@ -487,7 +520,7 @@ class StreamingVocoder:
         utterance (tail → silence, phase → the zero-phase start). With the
         ``lws_online`` engine, a freshly-reset stream's next emissions start
         with its ``n_fft // 2`` pre-roll samples again (see :meth:`push`)."""
-        if self.phase_engine == "lws_online":
+        if self._lws_engine:
             if stream is None or self._state_lws is None:
                 self._state_lws = None
                 self._state_ola = None
@@ -533,7 +566,7 @@ class StreamingVocoder:
         assert mel_chunk.shape[:2] == (self.n_streams, self.chunk), (
             mel_chunk.shape, self.n_streams, self.chunk
         )
-        if self.phase_engine == "lws_online":
+        if self._lws_engine:
             # Emits exactly chunk·hop samples per stream per push, equal to
             # offline `lws_online` of the concatenated mels delayed by
             # look_ahead frames — except each stream's FIRST n_fft//2

@@ -936,6 +936,134 @@ def lws_online(
     return istft(spec, length, params).reshape(lead + (length,))
 
 
+def lws_block_push(
+    mag_chunk: Array,
+    carry,
+    n_sweeps: int = 3,
+    look_ahead: int = 2,
+    colors: int = 4,
+    init: str = "advance",
+    band: int = 3,
+    corner: int = 8,
+    include_self: bool = False,
+    params: AudioParams = DEFAULT_PARAMS,
+):
+    """Block-parallel streaming LWS: one whole chunk per arrival.
+
+    Same stream contract as :func:`lws_online_push` — (B, C, F) magnitudes +
+    carry (from :func:`lws_online_init`) → ``((emit_re, emit_im), carry)``,
+    emitting the C frames that left the ``look_ahead``-deep refinement
+    window (the first ``look_ahead`` frames a stream ever emits are exact
+    zeros) — but the update schedule is redesigned for TPU sequential depth.
+    :func:`lws_online_push` runs ``C × n_sweeps × (look_ahead+1)`` strictly
+    dependent single-frame updates per chunk (the scan twin of the oracle's
+    per-frame arrival semantics). This variant admits the whole chunk at
+    once and runs ``n_sweeps`` *multicolor Gauss-Seidel* sweeps over the
+    ``look_ahead + C`` still-mutable frames: frames of equal index mod
+    ``colors`` update together as ONE batched :func:`_lws_update` (frames
+    folded into the batch axis — MXU/VPU-fat work), colors in ascending
+    order so that with ``colors ≥ Q−1`` every update still sees already-
+    updated left neighbors within the coupling band (|Δm| ≤ Q−1).
+    Sequential depth per chunk drops from ``C·n_sweeps·(la+1)`` (384 at the
+    serving shape C=64, sweeps=2, la=2) to ``n_sweeps·colors`` (12).
+
+    ``colors=1`` is pure Jacobi (every mutable frame from the same pre-sweep
+    state). ``init`` seeds newly arrived frames: ``"zero"`` = zero phase;
+    ``"advance"`` = the carried head frame's phase advanced by the hop phase
+    ramp ``e^{i·2π·hop·k·o/n_fft}`` per bin k and frame offset o (linear
+    extrapolation — the vocoder/RTISI prediction, computed in closed form
+    for the whole block so it stays parallel).
+
+    Differences from :func:`lws_online_push` (documented, tested): chunking
+    is NOT semantics-free (the sweep schedule sees chunk boundaries), and
+    near-head frames always use the symmetric interior kernels over the
+    zero-extended future (BASELINE.md measured sym ≥ asym on the fixture).
+    Use this engine when device time per push matters; ``lws_online_push``
+    when per-frame-arrival exactness matters.
+    """
+    if colors < 1:
+        raise ValueError(f"colors must be ≥ 1 (got {colors})")
+    if init not in ("zero", "advance"):
+        raise ValueError(f"unknown init {init!r}")
+    cst = _lws_consts(params, band, corner)
+    Q = cst["Q"]
+    la = look_ahead
+    H = la + Q - 1  # head index in the carried window (frame t)
+    nj = 2 * Q - 1
+    s_re, s_im, mbuf = carry
+    magb = mag_chunk.astype(jnp.float32)
+    Bn, C, F = magb.shape
+    n_mut = la + C  # mutable frames: t−la+1 … t+C
+
+    # Region buffer over frames t−(la+Q−1) … t+C plus Q−1 zero future slots:
+    # [carried window through the head | C new frames | zeros].
+    zeros_fut = jnp.zeros((Bn, Q - 1, F), jnp.float32)
+    if init == "advance":
+        head_re, head_im = s_re[:, H], s_im[:, H]  # frame t (zero at start)
+        nrm = jnp.sqrt(head_re**2 + head_im**2)
+        safe = nrm > 1e-12
+        u_re = jnp.where(safe, head_re / jnp.maximum(nrm, 1e-12), 1.0)
+        u_im = jnp.where(safe, head_im / jnp.maximum(nrm, 1e-12), 0.0)
+        theta = (
+            2.0 * np.pi * params.hop_length / params.n_fft
+        ) * np.arange(F, dtype=np.float64)  # per-bin hop phase advance
+        offs = np.arange(1, C + 1, dtype=np.float64)[:, None]  # frame t+o
+        ramp_re = jnp.asarray(np.cos(offs * theta), jnp.float32)  # (C, F)
+        ramp_im = jnp.asarray(np.sin(offs * theta), jnp.float32)
+        new_re = magb * (u_re[:, None] * ramp_re - u_im[:, None] * ramp_im)
+        new_im = magb * (u_re[:, None] * ramp_im + u_im[:, None] * ramp_re)
+    else:
+        new_re, new_im = magb, jnp.zeros_like(magb)
+    reg_re = jnp.concatenate([s_re[:, : H + 1], new_re, zeros_fut], axis=1)
+    reg_im = jnp.concatenate([s_im[:, : H + 1], new_im, zeros_fut], axis=1)
+    # Magnitudes of the mutable frames, aligned to region index H−la+1+i:
+    # carried provisional mags (mbuf[:, la−d] is frame t−d) then the chunk.
+    magr = jnp.concatenate([mbuf[:, 1:], magb], axis=1)  # (B, n_mut, F)
+
+    first_mut = H - la + 1  # region index of frame t−la+1 (≥ 1, so the
+    # j-shifted window slices below never go out of range)
+    nc = min(colors, n_mut)
+    for _ in range(n_sweeps):
+        for g in range(nc):
+            K = (n_mut - g + nc - 1) // nc
+            lo = first_mut + g  # first selected region index
+            hi = lo + (K - 1) * nc  # last selected region index
+            win_re = jnp.stack(
+                [
+                    reg_re[:, lo - (Q - 1) + j : hi - (Q - 1) + j + 1 : nc]
+                    for j in range(nj)
+                ],
+                axis=2,
+            )  # (B, K, nj, F): window of each selected frame
+            win_im = jnp.stack(
+                [
+                    reg_im[:, lo - (Q - 1) + j : hi - (Q - 1) + j + 1 : nc]
+                    for j in range(nj)
+                ],
+                axis=2,
+            )
+            mg = magr[:, g::nc]  # (B, K, F)
+            up_re, up_im = _lws_update(
+                win_re.reshape(Bn * K, nj, F),
+                win_im.reshape(Bn * K, nj, F),
+                mg.reshape(Bn * K, F),
+                cst,
+                include_self,
+            )
+            reg_re = reg_re.at[:, lo : hi + 1 : nc].set(
+                up_re.reshape(Bn, K, F)
+            )
+            reg_im = reg_im.at[:, lo : hi + 1 : nc].set(
+                up_im.reshape(Bn, K, F)
+            )
+
+    # Emit frames t−la+1 … t+C−la (C frames, now final); carry the rest.
+    em_re = reg_re[:, first_mut : first_mut + C]
+    em_im = reg_im[:, first_mut : first_mut + C]
+    new_carry = (reg_re[:, C:], reg_im[:, C:], magr[:, -(la + 1) :])
+    return (em_re, em_im), new_carry
+
+
 def magspec_to_waveform_lws(
     mag: Array,
     n_iters: int = 30,

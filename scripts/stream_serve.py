@@ -32,12 +32,14 @@ def main(argv=None) -> None:
                    help="trained ckpt dir; omit both for heuristic pipeline")
     p.add_argument("--model_size", choices=["full", "small"], default="small")
     p.add_argument("--model_overrides", default=None)
-    p.add_argument("--engine", choices=["gl", "lws_online"], default="gl")
+    p.add_argument(
+        "--engine", choices=["gl", "lws_online", "lws_block"], default="gl"
+    )
     p.add_argument("--n_streams", type=int, default=1)
     p.add_argument("--chunk_frames", type=int, default=64)
     p.add_argument("--pushes", type=int, default=20)
     p.add_argument("--gl_iters", type=int, default=16)
-    p.add_argument("--lws_sweeps", type=int, default=2)
+    p.add_argument("--lws_sweeps", type=int, default=None)
     p.add_argument("--lws_look_ahead", type=int, default=2)
     p.add_argument("--mel_context", type=int, default=0)
     p.add_argument("--emit_dtype", choices=["float32", "int16"],

@@ -176,5 +176,7 @@ class TestStreamServeCLI:
             "--lws_sweeps", "1", "--lws_look_ahead", "1",
         ])
         assert r["n_streams"] == 2
-        assert r["ms_per_stream"] == pytest.approx(r["p50_ms"] / 2)
+        # Both fields are independently rounded to 3 decimals in the JSON,
+        # so they can differ by up to 1e-3 (was a flaky exact-approx).
+        assert r["ms_per_stream"] == pytest.approx(r["p50_ms"] / 2, abs=1e-3)
         assert r["mel_l1"] < 0.2

@@ -433,6 +433,81 @@ class TestStreamingLWSEngine:
         np.testing.assert_allclose(out[1], out2[1], rtol=0, atol=1e-6)
 
 
+class TestStreamingBlockLWSEngine:
+    """phase_engine="lws_block": the block-parallel LWS arrival schedule
+    behind the same streaming contract (carry, look_ahead latency, pre-roll)
+    as the lws_online engine. Contracts: determinism, spectral-fidelity
+    proximity to the sequential engine (the schedules are different
+    algorithms, so proximity not equality — measured within 7% mel L1 on
+    the trained pipeline at the 4-sweep default, BASELINE.md), per-stream
+    independence, and the engine-specific sweep default."""
+
+    CH, LA = 16, 1
+
+    def _mel(self, chunks, seed=0):
+        from advoc_tpu.data import loader
+
+        wav = loader.synthetic_speech(seed, self.CH * chunks * P.hop_length)
+        mel = sp.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+        return np.asarray(mel[: self.CH * chunks]).reshape(
+            chunks, self.CH, P.n_mels
+        )
+
+    def _sv(self, engine="lws_block", n=1, **kw):
+        return StreamingVocoder(
+            params=P, chunk_frames=self.CH, n_streams=n,
+            phase_engine=engine, lws_look_ahead=self.LA, **kw
+        )
+
+    def test_sweep_defaults_are_engine_specific(self):
+        assert self._sv("lws_block").lws_sweeps == 4
+        assert self._sv("lws_online").lws_sweeps == 2
+        assert self._sv("lws_block", lws_sweeps=2).lws_sweeps == 2
+
+    def test_deterministic_and_near_sequential_fidelity(self):
+        chunks = 6
+        mel = self._mel(chunks)
+
+        def run(sv):
+            outs = [sv.push(mel[c]) for c in range(chunks)]
+            return np.concatenate(outs)
+
+        sv = self._sv()
+        stream = run(sv)
+        assert stream.shape == (chunks * self.CH * P.hop_length,)
+        sv.reset()
+        np.testing.assert_array_equal(run(sv), stream)
+
+        seq = run(self._sv("lws_online"))
+
+        def l1(out, svx):
+            sig = out[svx.preroll_samples + self.LA * P.hop_length :]
+            n_fr = len(sig) // P.hop_length - 1
+            m = np.asarray(sp.waveform_to_r9y9_melspec(jnp.asarray(sig), P))
+            tgt = mel.reshape(-1, P.n_mels)[:n_fr]
+            return np.abs(m[:n_fr] - tgt).mean()
+
+        l1_blk, l1_seq = l1(stream, sv), l1(seq, self._sv())
+        assert l1_blk < 1.6 * l1_seq + 0.01, (l1_blk, l1_seq)
+        assert l1_blk < 0.15, l1_blk
+
+    def test_identical_streams_emit_identically(self):
+        mel = self._mel(2, seed=3)
+        sv = self._sv(n=2)
+        for c in range(2):
+            out = sv.push(np.stack([mel[c], mel[c]]))
+            np.testing.assert_array_equal(out[0], out[1])
+
+    def test_per_stream_reset_is_row_independent(self):
+        mel_a, mel_b = self._mel(2, seed=4), self._mel(2, seed=5)
+        sv = self._sv(n=2)
+        sv.push(np.stack([mel_a[0], mel_b[0]]))
+        sv.reset(stream=1)
+        out = sv.push(np.stack([mel_a[1], mel_b[0]]))
+        out2 = self._sv(n=2).push(np.stack([mel_a[0], mel_b[0]]))
+        np.testing.assert_allclose(out[1], out2[1], rtol=0, atol=1e-6)
+
+
 class TestStreamingWireFormats:
     """Narrow wire dtypes for tunneled serving (BASELINE multi-stream table):
     int16 emit must equal the float emit run through the save_as_wav PCM16
