@@ -694,16 +694,28 @@ def lws(
     band: int = 3,
     corner: int = 8,
     include_self: bool = False,
+    colors: int = 1,
     params: AudioParams = DEFAULT_PARAMS,
 ) -> Array:
     """True LWS phase recovery. (..., T, n_freq) → (..., length) waveform.
 
     Gauss-Seidel frame sweeps of the truncated consistency update, exactly
-    matching ``reference.lws`` (parity-tested); runs as one nested ``lax.scan``
-    (sweeps × frames) on-chip. Each frame step is tiny (≈(2·band+1)·(2Q−1)
-    shifted multiply-adds over F bins), so this path is sequential-depth-bound
-    on TPU — measured A/B against fast Griffin-Lim lives in BASELINE.md, and
-    fast-GL remains the shipped default (:func:`magspec_to_waveform_lws`).
+    matching ``reference.lws`` (parity-tested); with ``colors=1`` it runs as
+    one nested ``lax.scan`` (sweeps × frames) on-chip. Each frame step is
+    tiny (≈(2·band+1)·(2Q−1) shifted multiply-adds over F bins), so that
+    path is sequential-depth-bound on TPU: T·n_sweeps dependent updates.
+
+    ``colors=c > 1`` switches to the *chromatic* Gauss-Seidel schedule
+    (the offline twin of :func:`lws_block_push`): frames of equal index mod
+    ``c`` update together as ONE batched :func:`_lws_update` (frames folded
+    into the batch axis), colors in ascending order — sequential depth
+    ``n_sweeps·c`` instead of ``n_sweeps·T``. The frame coupling band is
+    |Δm| ≤ Q−1, so for ``c ≥ Q`` same-color frames are mutually uncoupled
+    and the schedule is a *valid* Gauss-Seidel ordering (same fixed point,
+    just a different visit order); convergence per sweep is measurably
+    close to sequential (BASELINE.md A/B). Degenerate check: ``c ≥ T``
+    makes every color a single frame in ascending order — bit-identical to
+    the sequential sweep (parity-tested).
     """
     if length is None:
         length = mag.shape[-2] * params.hop_length
@@ -718,6 +730,56 @@ def lws(
     pad_re = jnp.zeros((Bn, T + 2 * (Q - 1), F), jnp.float32)
     pad_re = pad_re.at[:, Q - 1 : Q - 1 + T, :].set(magb)  # zero-phase init
     pad_im = jnp.zeros_like(pad_re)
+
+    if colors > 1:
+        nc = min(colors, T)
+
+        def sweep_mc(carry, _):
+            s_re, s_im = carry
+            for g in range(nc):
+                K = (T - g + nc - 1) // nc
+                lo = Q - 1 + g  # region index of the color's first frame
+                hi = lo + (K - 1) * nc
+                # (B, K, nj, F) neighbor windows of every selected frame,
+                # as nj strided slices (static indices; j-shifted slices
+                # stay in [0, T+2(Q−1)) — see lws_block_push).
+                win_re = jnp.stack(
+                    [
+                        s_re[:, lo - (Q - 1) + j : hi - (Q - 1) + j + 1 : nc]
+                        for j in range(nj)
+                    ],
+                    axis=2,
+                )
+                win_im = jnp.stack(
+                    [
+                        s_im[:, lo - (Q - 1) + j : hi - (Q - 1) + j + 1 : nc]
+                        for j in range(nj)
+                    ],
+                    axis=2,
+                )
+                mg = magb[:, g::nc]  # (B, K, F)
+                up_re, up_im = _lws_update(
+                    win_re.reshape(Bn * K, nj, F),
+                    win_im.reshape(Bn * K, nj, F),
+                    mg.reshape(Bn * K, F),
+                    cst,
+                    include_self,
+                )
+                s_re = s_re.at[:, lo : hi + 1 : nc].set(
+                    up_re.reshape(Bn, K, F)
+                )
+                s_im = s_im.at[:, lo : hi + 1 : nc].set(
+                    up_im.reshape(Bn, K, F)
+                )
+            return (s_re, s_im), None
+
+        (pad_re, pad_im), _ = jax.lax.scan(
+            sweep_mc, (pad_re, pad_im), None, length=n_sweeps
+        )
+        spec = jax.lax.complex(
+            pad_re[:, Q - 1 : Q - 1 + T], pad_im[:, Q - 1 : Q - 1 + T]
+        )
+        return istft(spec, length, params).reshape(lead + (length,))
 
     def frame_step(carry, m):
         s_re, s_im = carry

@@ -300,6 +300,35 @@ class TestLWS:
             np.asarray(out[0]), np.asarray(single), atol=1e-5
         )
 
+    def test_chromatic_degenerate_is_sequential(self, wav):
+        """colors ≥ T makes every color one frame in ascending order — the
+        exact sequential visit order, so the chromatic path must reproduce
+        the scan path bit-for-bit (same _lws_update calls, same values)."""
+        mag = jnp.asarray(ref.waveform_to_magspec(wav, P)[:24], jnp.float32)
+        seq = np.asarray(sp.lws(mag, n_sweeps=2, params=P))
+        mc = np.asarray(sp.lws(mag, n_sweeps=2, colors=24, params=P))
+        np.testing.assert_array_equal(mc, seq)
+
+    def test_chromatic_matches_sequential_convergence(self, wav):
+        """colors=4 ≥ Q keeps same-color frames uncoupled (|Δm| ≤ Q−1=3),
+        so the chromatic schedule is a valid Gauss-Seidel ordering: its
+        re-extracted magnitude error must track the sequential sweep's
+        (measured ≤ ~6% apart at every sweep count ≥ 5, BASELINE.md)."""
+        mag = ref.waveform_to_magspec(wav, P)[:48]
+        magj = jnp.asarray(mag, jnp.float32)
+
+        def err(y):
+            x = np.asarray(y).astype(np.float64)
+            return np.abs(ref.waveform_to_magspec(x, P)[:48] - mag).mean()
+
+        e_seq = err(sp.lws(magj, n_sweeps=6, params=P))
+        e_mc = err(sp.lws(magj, n_sweeps=6, colors=4, params=P))
+        assert e_mc < 1.15 * e_seq, (e_mc, e_seq)
+        # and it actually converges (vs the zero-phase start)
+        x0 = ref.istft(mag.astype(np.complex128), 48 * P.hop_length, P)
+        e0 = np.abs(ref.waveform_to_magspec(x0, P)[:48] - mag).mean()
+        assert e_mc < 0.6 * e0
+
 
 class TestLWSOnline:
     """Online/asymmetric-window LWS (reference.lws_online + spectral twin) —
