@@ -30,6 +30,11 @@ from advoc_tpu.ops.reference import AudioParams, DEFAULT_PARAMS
 Array = jax.Array
 
 
+def _bmask(active: Array, like: Array) -> Array:
+    """(n,) bool mask reshaped to broadcast over ``like``'s trailing dims."""
+    return active.reshape(active.shape + (1,) * (like.ndim - 1))
+
+
 def _chunk_windows(t: int, chunk: int, hop: int) -> np.ndarray:
     """Start indices of overlapping windows covering [0, t) (static)."""
     if t <= chunk:
@@ -393,8 +398,9 @@ class StreamingVocoder:
             # option, not the throughput default.
             ctx = mel_context
 
-            def run(g_params, mel: Array, mel_ctx, s_re, s_im, mbuf,
+            def run(g_params, mel: Array, active, mel_ctx, s_re, s_im, mbuf,
                     ola, wsum):
+                olds = (mel_ctx, s_re, s_im, mbuf, ola, wsum)
                 # mel_context: the generator sees [prev 2·ctx frames, chunk]
                 # and only the interior slice [ctx : ctx+chunk] — frames
                 # with ≥ctx frames of context on BOTH sides — enters the
@@ -444,6 +450,14 @@ class StreamingVocoder:
                     emit = jnp.round(
                         jnp.clip(emit, -1.0, 1.0) * 32767.0
                     ).astype(jnp.int16)
+                # Masked rows: carry untouched (bit-exact), emit zeros. The
+                # mask is a traced (n,) bool — no recompile per pattern.
+                emit = jnp.where(_bmask(active, emit), emit, 0)
+                news = (mel_ctx, s_re, s_im, mbuf, ola, wsum)
+                mel_ctx, s_re, s_im, mbuf, ola, wsum = (
+                    jnp.where(_bmask(active, n), n, o)
+                    for n, o in zip(news, olds)
+                )
                 return emit, mel_ctx, s_re, s_im, mbuf, ola, wsum
 
             self._run = jax.jit(run)
@@ -458,9 +472,11 @@ class StreamingVocoder:
             (np.arange(chunk_frames) + 1.0)[:, None], jnp.float32
         )
 
-        def run(g_params, mel: Array, prev_tail: Array,
+        def run(g_params, mel: Array, active, prev_tail: Array,
                 pc: Array, ps: Array, pc1: Array, ps1: Array):
-            # mel (n, chunk, M); prev_tail (n, ov); phases (n, F).
+            # mel (n, chunk, M); active (n,) bool; prev_tail (n, ov);
+            # phases (n, F).
+            olds = (prev_tail, pc, ps, pc1, ps1)
             est = spectral.r9y9_melspec_to_magspec(mel.astype(jnp.float32), p)
             est_norm = spectral.normalize_db(
                 spectral.amp_to_db(est, p) - p.ref_level_db, p
@@ -500,8 +516,13 @@ class StreamingVocoder:
                 emit = jnp.round(
                     jnp.clip(emit, -1.0, 1.0) * 32767.0
                 ).astype(jnp.int16)
-            return (emit, tail, fc[:, -1, :], fs[:, -1, :],
+            emit = jnp.where(_bmask(active, emit), emit, 0)
+            news = (tail, fc[:, -1, :], fs[:, -1, :],
                     fc[:, -2, :], fs[:, -2, :])
+            return (emit,) + tuple(
+                jnp.where(_bmask(active, n), n, o)
+                for n, o in zip(news, olds)
+            )
 
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
@@ -547,13 +568,21 @@ class StreamingVocoder:
             pc1.at[stream].set(1.0), ps1.at[stream].set(0.0),
         )
 
-    def push(self, mel_chunk) -> np.ndarray:
+    def push(self, mel_chunk, active=None) -> np.ndarray:
         """Vocode one window per stream; returns the emitted waveform samples
         (chunk minus one overlap, crossfaded with the previous chunk's tail).
 
         Input (chunk_frames, n_mels) → output (emit,) when ``n_streams == 1``;
         input (n_streams, chunk_frames, n_mels) → output (n_streams, emit)
-        otherwise. Call :meth:`reset` between utterances."""
+        otherwise. Call :meth:`reset` between utterances.
+
+        ``active``: optional (n_streams,) bools for dynamic batching (a
+        serving tick where some slots have no pending chunk). Inactive rows
+        keep their carry state bit-exactly — their mel row is ignored and
+        their emit row is zeros — so skipping a stream for a tick then
+        resuming is identical to never having included it in that push. The
+        mask is a traced argument: any pattern reuses the one compiled
+        executable."""
         # The uplink cast happens HOST-side so the tunnel carries the narrow
         # dtype; `run` widens back to f32 before any math.
         mel_chunk = jnp.asarray(np.asarray(mel_chunk, dtype=self.mel_dtype))
@@ -566,6 +595,10 @@ class StreamingVocoder:
         assert mel_chunk.shape[:2] == (self.n_streams, self.chunk), (
             mel_chunk.shape, self.n_streams, self.chunk
         )
+        if active is None:
+            active = np.ones(self.n_streams, bool)
+        active = jnp.asarray(np.asarray(active, dtype=bool))
+        assert active.shape == (self.n_streams,), active.shape
         if self._lws_engine:
             # Emits exactly chunk·hop samples per stream per push, equal to
             # offline `lws_online` of the concatenated mels delayed by
@@ -588,7 +621,7 @@ class StreamingVocoder:
             s_re, s_im, mb = self._state_lws
             ola, ws = self._state_ola
             emit, mel_ctx, s_re, s_im, mb, ola, ws = self._run(
-                self.g_params, mel_chunk, self._state_mel,
+                self.g_params, mel_chunk, active, self._state_mel,
                 s_re, s_im, mb, ola, ws,
             )
             self._state_lws = (s_re, s_im, mb)
@@ -604,7 +637,8 @@ class StreamingVocoder:
             self._state_phase = self._fresh_state()[1]
         pc, ps, pc1, ps1 = self._state_phase
         emit, tail, fc, fs, fc1, fs1 = self._run(
-            self.g_params, mel_chunk, self._state_wav, pc, ps, pc1, ps1
+            self.g_params, mel_chunk, active, self._state_wav, pc, ps,
+            pc1, ps1
         )
         # Keep carries on device; fetch only the emitted samples.
         self._state_wav = tail

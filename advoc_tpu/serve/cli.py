@@ -1,0 +1,185 @@
+"""CLI for the streaming vocoder server.
+
+``python -m advoc_tpu.serve.cli --port 9700 --bundle runs/advoc/bundle``
+serves a trained (or heuristic) StreamingVocoder; ``--selftest N`` instead
+starts the server, drives it with N concurrent in-process clients, prints
+per-client latency and batching stats as ONE machine-readable JSON line
+(``VOCODE_SERVER_RESULT {...}``), and exits — the serving-loop analog of
+``scripts/stream_serve.py`` but through the real TCP path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+
+def build_vocoder(args):
+    """StreamingVocoder from CLI flags (same model flags as stream_serve)."""
+    import jax.numpy as jnp
+
+    from advoc_tpu.infer.vocoder import StreamingVocoder
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+
+    g_apply = g_params = None
+    if args.bundle or args.train_dir:
+        from advoc_tpu.models.advoc import AdvocGenerator
+        from advoc_tpu.models.advoc.model import AdvocConfig, small_config
+        from advoc_tpu.utils import apply_overrides
+
+        cfg = small_config() if args.model_size == "small" else AdvocConfig()
+        cfg = apply_overrides(cfg, args.model_overrides)
+        g = AdvocGenerator(cfg)
+        if args.bundle:
+            from advoc_tpu.train.checkpoint import load_inference_bundle
+
+            g_params, _ = load_inference_bundle(args.bundle)
+        else:
+            from advoc_tpu.models.advoc import PatchDiscriminator
+            from advoc_tpu.train import gan
+            from advoc_tpu.train.checkpoint import CheckpointManager
+
+            est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+            gstate, dstate = gan.make_states(
+                g, PatchDiscriminator(cfg), (est0,), (est0, est0)
+            )
+            mgr = CheckpointManager(args.train_dir)
+            g_params = mgr.restore(
+                template={"g": gstate, "d": dstate}
+            )["g"].params
+            mgr.close()
+        g_apply = lambda pr, est: g.apply({"params": pr}, est)  # noqa: E731
+
+    return StreamingVocoder(
+        g_apply=g_apply, g_params=g_params, params=P,
+        chunk_frames=args.chunk_frames, n_streams=args.n_slots,
+        gl_iters=args.gl_iters, phase_engine=args.engine,
+        lws_sweeps=args.lws_sweeps, lws_look_ahead=args.lws_look_ahead,
+        mel_context=args.mel_context, emit_dtype=args.emit_dtype,
+        mel_dtype=args.mel_dtype,
+    )
+
+
+def add_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = pick a free port (printed at startup)")
+    p.add_argument("--n_slots", type=int, default=16,
+                   help="concurrent streams = StreamingVocoder batch rows")
+    p.add_argument("--coalesce_ms", type=float, default=0.0,
+                   help="wait this long per tick for more clients' chunks")
+    p.add_argument("--bundle", default=None, help="inference bundle dir")
+    p.add_argument("--train_dir", default=None,
+                   help="trained ckpt dir; omit both for heuristic pipeline")
+    p.add_argument("--model_size", choices=["full", "small"], default="small")
+    p.add_argument("--model_overrides", default=None)
+    p.add_argument(
+        "--engine", choices=["gl", "lws_online", "lws_block"], default="gl"
+    )
+    p.add_argument("--chunk_frames", type=int, default=64)
+    p.add_argument("--gl_iters", type=int, default=16)
+    p.add_argument("--lws_sweeps", type=int, default=None)
+    p.add_argument("--lws_look_ahead", type=int, default=2)
+    p.add_argument("--mel_context", type=int, default=0)
+    p.add_argument("--emit_dtype", choices=["float32", "int16"],
+                   default="int16")
+    p.add_argument("--mel_dtype", choices=["float32", "float16"],
+                   default="float32")
+    p.add_argument("--selftest", type=int, default=0, metavar="N_CLIENTS",
+                   help="start, drive with N concurrent clients, report, exit")
+    p.add_argument("--pushes", type=int, default=10,
+                   help="selftest: chunks per client")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_args(p)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from advoc_tpu.serve.server import start_in_thread
+
+    sv = build_vocoder(args)
+    # Compile + warm the executable before accepting traffic (first jit
+    # over a tunnel is seconds-to-minutes; clients shouldn't eat that).
+    t0 = time.perf_counter()
+    sv.push(
+        np.zeros((args.n_slots, args.chunk_frames, sv.params.n_mels)),
+        active=np.zeros(args.n_slots, bool),
+    )
+    sv.reset()
+    print(f"warmup compile: {time.perf_counter() - t0:.1f} s", flush=True)
+
+    handle = start_in_thread(
+        sv, host=args.host, port=args.port, coalesce_ms=args.coalesce_ms
+    )
+    host, port = handle.address
+    print(f"serving {args.n_slots} slots on {host}:{port} "
+          f"(engine={args.engine})", flush=True)
+
+    if not args.selftest:
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            handle.stop()
+        return
+
+    # --- selftest: N concurrent clients through the real TCP path ---
+    import jax.numpy as jnp
+
+    from advoc_tpu.data import loader
+    from advoc_tpu.ops import spectral
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+    from advoc_tpu.serve.client import VocodeClient
+
+    n, ch = args.selftest, args.chunk_frames
+    need = ch * args.pushes
+    lat_ms: list[list[float]] = [[] for _ in range(n)]
+
+    def run_client(i: int) -> None:
+        wav = loader.synthetic_speech(i, need * P.hop_length)
+        mel = np.asarray(
+            spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+        )[:need]
+        with VocodeClient(host, port) as c:
+            for k in range(args.pushes):
+                t0 = time.perf_counter()
+                out = c.vocode(mel[k * ch : (k + 1) * ch])
+                lat_ms[i].append((time.perf_counter() - t0) * 1000.0)
+                assert out.shape == (c.config["emit_samples"],)
+
+    threads = [
+        threading.Thread(target=run_client, args=(i,)) for i in range(n)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    lat = np.asarray([m for c in lat_ms for m in c[1:]])  # skip first pushes
+    spt = handle.server.stats.streams_per_tick
+    audio_s = n * args.pushes * ch * P.hop_length / P.sample_rate
+    result = {
+        "n_clients": n, "pushes": args.pushes,
+        "chunk_frames": ch, "engine": args.engine,
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "ticks": handle.server.stats.ticks,
+        "mean_streams_per_tick": round(float(np.mean(spt)), 2),
+        "wall_s": round(wall, 2),
+        "aggregate_rtf": round(audio_s / wall, 1),
+    }
+    print("VOCODE_SERVER_RESULT " + json.dumps(result), flush=True)
+    handle.stop()
+
+
+if __name__ == "__main__":
+    main()

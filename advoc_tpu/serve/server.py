@@ -1,0 +1,290 @@
+"""Streaming vocoder server: N TCP clients → ONE batched StreamingVocoder.
+
+Serving architecture (TPU-first): the chip wants exactly one fixed-shape
+``push`` per tick with as many streams as possible folded into the batch
+axis — per-push dispatch (the latency floor on tunneled hosts, BASELINE.md
+multi-stream table) then amortizes across every connected client. So the
+server is a *slot multiplexer*: each connection leases one row of a
+``StreamingVocoder(n_streams=n_slots)``, a single batching loop coalesces
+whatever chunks are pending into one ``push(batch, active=mask)`` (the
+masked rows keep their carry bit-exactly — ``infer/vocoder.py``), and each
+client gets back only its own row. All device access is serialized through
+one executor thread; connection handling stays on the asyncio loop.
+
+The reference has no serving layer (its inference is a batch CLI,
+SURVEY §2.1 #10) — this subsystem is beyond-reference (PARITY.md).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import concurrent.futures
+import json
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from advoc_tpu.serve import protocol as pr
+
+
+@dataclass
+class _Slot:
+    idx: int
+    fut: asyncio.Future | None = None  # in-flight push result
+
+
+@dataclass
+class _Request:
+    kind: str  # "push" | "reset" | "free"
+    slot: int
+    mel: np.ndarray | None = None
+    fut: asyncio.Future | None = None
+
+
+@dataclass
+class ServerStats:
+    connections: int = 0
+    pushes: int = 0
+    ticks: int = 0
+    streams_per_tick: list = field(default_factory=list)
+
+
+class VocoderServer:
+    """Serve a :class:`StreamingVocoder` over TCP (see module docstring).
+
+    ``coalesce_ms``: after the first pending chunk of a tick arrives, wait
+    this long for other clients' chunks to join the batch — the throughput/
+    latency knob (0 = push immediately, each tick carries whatever is
+    already queued; concurrent clients still coalesce naturally while a
+    previous tick's device call is in flight).
+    """
+
+    def __init__(
+        self,
+        sv,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        coalesce_ms: float = 0.0,
+    ):
+        self.sv = sv
+        self.host, self.port = host, port
+        self.coalesce_ms = coalesce_ms
+        self.stats = ServerStats()
+        self._free: list[int] = list(range(sv.n_streams))[::-1]
+        self._queue: asyncio.Queue[_Request] = asyncio.Queue()
+        self._server: asyncio.AbstractServer | None = None
+        self._batch_task: asyncio.Task | None = None
+        # One worker: all sv (device) access happens on this thread.
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        p = sv.params
+        emit = sv.chunk * p.hop_length - (
+            0 if sv.phase_engine != "gl" else sv._ov_samps
+        )
+        self._config = {
+            "n_slots": sv.n_streams,
+            "chunk_frames": sv.chunk,
+            "n_mels": p.n_mels,
+            "mel_dtype": np.dtype(sv.mel_dtype).name,
+            "emit_dtype": np.dtype(sv.emit_dtype).name,
+            "emit_samples": emit,
+            "sample_rate": p.sample_rate,
+            "hop_length": p.hop_length,
+            "phase_engine": sv.phase_engine,
+            "preroll_samples": sv.preroll_samples,
+            "latency_frames": sv.latency_frames,
+        }
+        self._chunk_bytes = (
+            sv.chunk * p.n_mels * np.dtype(sv.mel_dtype).itemsize
+        )
+
+    @property
+    def address(self) -> tuple[str, int]:
+        assert self._server is not None, "server not started"
+        return self._server.sockets[0].getsockname()[:2]
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port
+        )
+        self._batch_task = asyncio.get_running_loop().create_task(
+            self._batch_loop()
+        )
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        if self._batch_task is not None:
+            self._batch_task.cancel()
+            try:
+                await self._batch_task
+            except asyncio.CancelledError:
+                pass
+        self._pool.shutdown(wait=True)
+
+    # --- batching core -------------------------------------------------
+    async def _batch_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        sv = self.sv
+        n, ch = sv.n_streams, sv.chunk
+        mel_dt = np.dtype(sv.mel_dtype)
+        while True:
+            batch: dict[int, _Request] = {}
+            resets: list[int] = []
+
+            def take(req: _Request) -> bool:
+                # A slot's handler never pipelines pushes, so one push per
+                # slot per tick holds by construction; a push after a
+                # queued reset of the same slot stays ordered because
+                # resets apply before the tick's device call.
+                if req.kind == "push":
+                    batch[req.slot] = req
+                else:  # "reset" and "free" both zero the slot's carry
+                    resets.append(req.slot)
+                    if req.kind == "free":
+                        self._free.append(req.slot)
+                return True
+
+            take(await self._queue.get())
+            while not self._queue.empty():
+                take(self._queue.get_nowait())
+            if self.coalesce_ms and batch:
+                await asyncio.sleep(self.coalesce_ms / 1000.0)
+                while not self._queue.empty():
+                    take(self._queue.get_nowait())
+
+            def device_tick():
+                for s in resets:
+                    sv.reset(stream=s)
+                if not batch:
+                    return None
+                mels = np.zeros((n, ch, self._config["n_mels"]), mel_dt)
+                active = np.zeros(n, bool)
+                for s, req in batch.items():
+                    mels[s], active[s] = req.mel, True
+                return sv.push(mels, active=active)
+
+            try:
+                emit = await loop.run_in_executor(self._pool, device_tick)
+            except Exception as e:  # propagate to the waiting clients
+                for req in batch.values():
+                    if not req.fut.done():
+                        req.fut.set_exception(
+                            RuntimeError(f"vocode failed: {e!r}")
+                        )
+                continue
+            if batch:
+                self.stats.ticks += 1
+                self.stats.pushes += len(batch)
+                self.stats.streams_per_tick.append(len(batch))
+            for s, req in batch.items():
+                if not req.fut.done():
+                    req.fut.set_result(np.ascontiguousarray(emit[s]))
+
+    # --- per-connection handler -----------------------------------------
+    async def _handle(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        loop = asyncio.get_running_loop()
+        if not self._free:
+            writer.write(pr.pack(pr.OP_ERR, b"server full: no free slot"))
+            await writer.drain()
+            writer.close()
+            return
+        slot = self._free.pop()
+        self.stats.connections += 1
+        writer.write(
+            pr.pack(
+                pr.OP_CONFIG,
+                json.dumps(dict(self._config, slot=slot)).encode(),
+            )
+        )
+        await writer.drain()
+        try:
+            while True:
+                try:
+                    op, payload = await pr.read_frame(reader)
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    break
+                if op == pr.OP_BYE:
+                    break
+                if op == pr.OP_RESET:
+                    await self._queue.put(_Request("reset", slot))
+                    continue
+                if op != pr.OP_PUSH:
+                    writer.write(pr.pack(pr.OP_ERR, f"bad op {op}".encode()))
+                    await writer.drain()
+                    break
+                if len(payload) != self._chunk_bytes:
+                    writer.write(pr.pack(
+                        pr.OP_ERR,
+                        f"push payload must be {self._chunk_bytes} bytes "
+                        f"({self._config['chunk_frames']}x"
+                        f"{self._config['n_mels']} "
+                        f"{self._config['mel_dtype']}), "
+                        f"got {len(payload)}".encode(),
+                    ))
+                    await writer.drain()
+                    break
+                mel = np.frombuffer(payload, np.dtype(
+                    self._config["mel_dtype"]
+                )).reshape(
+                    self._config["chunk_frames"], self._config["n_mels"]
+                )
+                fut = loop.create_future()
+                await self._queue.put(_Request("push", slot, mel, fut))
+                try:
+                    out = await fut
+                except RuntimeError as e:
+                    writer.write(pr.pack(pr.OP_ERR, str(e).encode()))
+                    await writer.drain()
+                    break
+                writer.write(pr.pack(pr.OP_PCM, out.tobytes()))
+                await writer.drain()
+        finally:
+            # Zero the slot's carry before releasing it so the next lease
+            # starts a fresh utterance; "free" re-lists the slot only after
+            # any in-flight tick (queue FIFO → applied on the next tick).
+            await self._queue.put(_Request("free", slot))
+            writer.close()
+
+
+class ServerHandle:
+    """A VocoderServer running on a background event loop (tests, CLIs)."""
+
+    def __init__(self, server: VocoderServer, loop, thread):
+        self.server = server
+        self._loop = loop
+        self._thread = thread
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.server.address
+
+    def stop(self) -> None:
+        asyncio.run_coroutine_threadsafe(
+            self.server.stop(), self._loop
+        ).result(timeout=30)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=30)
+
+
+def start_in_thread(sv, host="127.0.0.1", port=0, **kw) -> ServerHandle:
+    """Start a VocoderServer on a daemon thread; returns a ServerHandle."""
+    loop = asyncio.new_event_loop()
+    server = VocoderServer(sv, host=host, port=port, **kw)
+
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.start())
+        started.set()
+        loop.run_forever()
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    if not started.wait(timeout=30):
+        raise RuntimeError("server failed to start within 30 s")
+    return ServerHandle(server, loop, thread)

@@ -508,6 +508,74 @@ class TestStreamingBlockLWSEngine:
         np.testing.assert_allclose(out[1], out2[1], rtol=0, atol=1e-6)
 
 
+class TestMaskedPush:
+    """`push(…, active=mask)` — the dynamic-batching primitive for serving:
+    an inactive row's carry is untouched bit-exactly (skipping a tick then
+    resuming ≡ that push never happened for the row), its emit row is
+    zeros, and the mask is traced (any pattern, one executable)."""
+
+    CH = 16
+
+    def _mel(self, chunks, seed):
+        wav = loader.synthetic_speech(seed, self.CH * chunks * P.hop_length)
+        m = sp.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+        return np.asarray(m[: self.CH * chunks]).reshape(
+            chunks, self.CH, P.n_mels
+        )
+
+    @pytest.mark.parametrize(
+        "engine,kw",
+        [
+            ("gl", dict(gl_iters=4)),
+            ("lws_online", dict(lws_look_ahead=1, lws_sweeps=1)),
+            ("lws_block", dict(lws_look_ahead=1, lws_sweeps=2)),
+        ],
+    )
+    def test_skipped_tick_resumes_bit_exact(self, engine, kw):
+        mel_a, mel_b = self._mel(3, seed=0), self._mel(2, seed=1)
+        zeros = np.zeros_like(mel_a[0])
+
+        sv = StreamingVocoder(
+            params=P, chunk_frames=self.CH, n_streams=2,
+            phase_engine=engine, **kw
+        )
+        # Stream 0 pushes a0,a1,a2; stream 1 pushes b0, SKIPS the middle
+        # tick, then b1.
+        o1 = sv.push(np.stack([mel_a[0], mel_b[0]]))
+        o2 = sv.push(np.stack([mel_a[1], zeros]), active=[True, False])
+        o3 = sv.push(np.stack([mel_a[2], mel_b[1]]))
+
+        # Inactive row emits zeros.
+        np.testing.assert_array_equal(o2[1], np.zeros_like(o2[1]))
+
+        # References run the SAME n=2 executable (bit-exactness across
+        # different batch sizes is not an XLA guarantee; per-row
+        # independence within a push is tested elsewhere).
+        def fresh():
+            return StreamingVocoder(
+                params=P, chunk_frames=self.CH, n_streams=2,
+                phase_engine=engine, **kw
+            )
+
+        # Stream 0 ≡ an uninterrupted all-active run (row 1 data differs —
+        # rows are independent).
+        ref0 = fresh()
+        r1 = ref0.push(np.stack([mel_a[0], mel_b[0]]))
+        r2 = ref0.push(np.stack([mel_a[1], mel_b[1]]))
+        r3 = ref0.push(np.stack([mel_a[2], mel_b[1]]))
+        np.testing.assert_array_equal(o1[0], r1[0])
+        np.testing.assert_array_equal(o2[0], r2[0])
+        np.testing.assert_array_equal(o3[0], r3[0])
+
+        # Stream 1 ≡ a run that never saw the skipped tick: b0 then b1
+        # back-to-back.
+        ref1 = fresh()
+        s1 = ref1.push(np.stack([mel_a[0], mel_b[0]]))
+        s2 = ref1.push(np.stack([mel_a[1], mel_b[1]]))
+        np.testing.assert_array_equal(o1[1], s1[1])
+        np.testing.assert_array_equal(o3[1], s2[1])
+
+
 class TestStreamingWireFormats:
     """Narrow wire dtypes for tunneled serving (BASELINE multi-stream table):
     int16 emit must equal the float emit run through the save_as_wav PCM16

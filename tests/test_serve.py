@@ -1,0 +1,212 @@
+"""Serving-layer tests: TCP protocol, slot multiplexing, batched ticks.
+
+The correctness backbone is the masked-push contract (tests/test_infer.py
+TestMaskedPush): per-slot emissions are bit-invariant to how the server's
+ticks happen to group concurrent clients, so every test here compares a
+client's TCP-received stream against a direct one-hot-masked push on an
+identical StreamingVocoder — regardless of racing ticks.
+"""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from advoc_tpu.data import loader
+from advoc_tpu.infer import StreamingVocoder
+from advoc_tpu.ops import spectral as sp
+from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+from advoc_tpu.serve import VocodeClient, start_in_thread
+from advoc_tpu.serve import protocol as pr
+
+CH = 16
+
+
+def make_sv(n_slots, engine="gl", **kw):
+    if engine == "gl":
+        kw.setdefault("gl_iters", 4)
+    else:
+        kw.setdefault("lws_look_ahead", 1)
+        kw.setdefault("lws_sweeps", 1)
+    return StreamingVocoder(
+        params=P, chunk_frames=CH, n_streams=n_slots,
+        phase_engine=engine, **kw
+    )
+
+
+def mel_chunks(chunks, seed=0):
+    wav = loader.synthetic_speech(seed, CH * chunks * P.hop_length)
+    m = sp.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+    return np.asarray(m[: CH * chunks]).reshape(chunks, CH, P.n_mels)
+
+
+def ref_stream(sv_ref, slot, mels):
+    """Direct one-hot masked pushes: the grouping-invariant reference."""
+    n = sv_ref.n_streams
+    active = np.zeros(n, bool)
+    active[slot] = True
+    outs = []
+    for m in mels:
+        batch = np.zeros((n, CH, P.n_mels), np.float32)
+        batch[slot] = m
+        outs.append(sv_ref.push(batch, active=active)[slot])
+    return outs
+
+
+@pytest.fixture()
+def served():
+    """A 4-slot heuristic gl server + an identical reference vocoder."""
+    handle = start_in_thread(make_sv(4), coalesce_ms=10.0)
+    yield handle, make_sv(4)
+    handle.stop()
+
+
+class TestVocodeServer:
+    def test_roundtrip_matches_direct_push(self, served):
+        handle, sv_ref = served
+        host, port = handle.address
+        mels = mel_chunks(3)
+        with VocodeClient(host, port) as c:
+            got = [c.vocode(m) for m in mels]
+            assert got[0].shape == (c.config["emit_samples"],)
+            assert got[0].dtype == np.float32
+            ref = ref_stream(sv_ref, c.slot, mels)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(g, r)
+
+    def test_concurrent_clients_are_isolated_and_batched(self, served):
+        handle, sv_ref = served
+        host, port = handle.address
+        n_cli, pushes = 4, 4
+        all_mels = [mel_chunks(pushes, seed=i) for i in range(n_cli)]
+        results: list = [None] * n_cli
+        barrier = threading.Barrier(n_cli)
+
+        def client(i):
+            with VocodeClient(host, port) as c:
+                outs = []
+                for k in range(pushes):
+                    barrier.wait()  # sync so ticks must multiplex slots
+                    outs.append(c.vocode(all_mels[i][k]))
+                results[i] = (c.slot, outs)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(n_cli)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        slots = {results[i][0] for i in range(n_cli)}
+        assert len(slots) == n_cli  # distinct leases
+        for i in range(n_cli):
+            slot, outs = results[i]
+            for g, r in zip(outs, ref_stream(sv_ref, slot, all_mels[i])):
+                np.testing.assert_array_equal(g, r)
+        # With a client barrier + 10 ms coalesce, ticks must have carried
+        # >1 stream on average (the whole point of the batching loop).
+        stats = handle.server.stats
+        assert stats.pushes == n_cli * pushes
+        assert stats.ticks < stats.pushes, (stats.ticks, stats.pushes)
+
+    def test_reset_starts_fresh_utterance(self, served):
+        handle, _ = served
+        host, port = handle.address
+        mels = mel_chunks(2)
+        with VocodeClient(host, port) as c:
+            first = c.vocode(mels[0])
+            c.vocode(mels[1])
+            c.reset()
+            again = c.vocode(mels[0])
+        np.testing.assert_array_equal(first, again)
+
+    def test_slot_freed_and_carry_cleared_on_disconnect(self, served):
+        handle, _ = served
+        host, port = handle.address
+        mels = mel_chunks(2)
+        with VocodeClient(host, port) as c1:
+            slot1 = c1.slot
+            first = c1.vocode(mels[0])
+            c1.vocode(mels[1])
+        # Lease every slot; the old slot must come back (possibly after the
+        # free request drains) with a zeroed carry.
+        deadline = time.time() + 10
+        clients = []
+        try:
+            while time.time() < deadline and len(clients) < 4:
+                try:
+                    clients.append(VocodeClient(host, port))
+                except ConnectionError:
+                    time.sleep(0.05)
+            assert len(clients) == 4
+            c2 = next(c for c in clients if c.slot == slot1)
+            np.testing.assert_array_equal(c2.vocode(mels[0]), first)
+        finally:
+            for c in clients:
+                c.close()
+
+    def test_server_full_rejected(self):
+        handle = start_in_thread(make_sv(1))
+        host, port = handle.address
+        try:
+            c1 = VocodeClient(host, port)
+            with pytest.raises(ConnectionError, match="server full"):
+                VocodeClient(host, port)
+            c1.close()
+        finally:
+            handle.stop()
+
+    def test_bad_payload_gets_error_frame(self, served):
+        handle, _ = served
+        host, port = handle.address
+        s = socket.create_connection((host, port), timeout=30)
+        try:
+            op, _ = pr.read_frame_sync(s)
+            assert op == pr.OP_CONFIG
+            s.sendall(pr.pack(pr.OP_PUSH, b"not a mel chunk"))
+            op, payload = pr.read_frame_sync(s)
+            assert op == pr.OP_ERR
+            assert b"payload must be" in payload
+        finally:
+            s.close()
+
+
+class TestVocodeServerLWS:
+    def test_lws_block_roundtrip(self):
+        handle = start_in_thread(make_sv(2, engine="lws_block"))
+        try:
+            host, port = handle.address
+            mels = mel_chunks(3)
+            with VocodeClient(host, port) as c:
+                got = [c.vocode(m) for m in mels]
+                ref = ref_stream(make_sv(2, engine="lws_block"), c.slot, mels)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(g, r)
+        finally:
+            handle.stop()
+
+
+class TestServerCLI:
+    def test_selftest_smoke(self, capsys):
+        from advoc_tpu.serve.cli import main
+
+        main([
+            "--selftest", "2", "--n_slots", "2", "--pushes", "3",
+            "--chunk_frames", str(CH), "--gl_iters", "2",
+        ])
+        out = capsys.readouterr().out
+        line = next(
+            ln for ln in out.splitlines()
+            if ln.startswith("VOCODE_SERVER_RESULT ")
+        )
+        import json
+
+        r = json.loads(line.split(" ", 1)[1])
+        assert r["n_clients"] == 2
+        assert r["ticks"] >= 1
+        assert r["p50_ms"] > 0
