@@ -165,15 +165,15 @@ def main(argv=None) -> None:
     wall = time.perf_counter() - t0
 
     lat = np.asarray([m for c in lat_ms for m in c[1:]])  # skip first pushes
-    spt = handle.server.stats.streams_per_tick
+    stats = handle.server.stats
     audio_s = n * args.pushes * ch * P.hop_length / P.sample_rate
     result = {
         "n_clients": n, "pushes": args.pushes,
         "chunk_frames": ch, "engine": args.engine,
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
-        "ticks": handle.server.stats.ticks,
-        "mean_streams_per_tick": round(float(np.mean(spt)), 2),
+        "ticks": stats.ticks,
+        "mean_streams_per_tick": round(stats.mean_streams_per_tick, 2),
         "wall_s": round(wall, 2),
         "aggregate_rtf": round(audio_s / wall, 1),
     }

@@ -21,17 +21,11 @@ import asyncio
 import concurrent.futures
 import json
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from advoc_tpu.serve import protocol as pr
-
-
-@dataclass
-class _Slot:
-    idx: int
-    fut: asyncio.Future | None = None  # in-flight push result
 
 
 @dataclass
@@ -47,7 +41,10 @@ class ServerStats:
     connections: int = 0
     pushes: int = 0
     ticks: int = 0
-    streams_per_tick: list = field(default_factory=list)
+
+    @property
+    def mean_streams_per_tick(self) -> float:
+        return self.pushes / self.ticks if self.ticks else 0.0
 
 
 class VocoderServer:
@@ -177,7 +174,6 @@ class VocoderServer:
             if batch:
                 self.stats.ticks += 1
                 self.stats.pushes += len(batch)
-                self.stats.streams_per_tick.append(len(batch))
             for s, req in batch.items():
                 if not req.fut.done():
                     req.fut.set_result(np.ascontiguousarray(emit[s]))
@@ -242,6 +238,8 @@ class VocoderServer:
                     break
                 writer.write(pr.pack(pr.OP_PCM, out.tobytes()))
                 await writer.drain()
+        except OSError:
+            pass  # abrupt client disconnect mid-write: clean up silently
         finally:
             # Zero the slot's carry before releasing it so the next lease
             # starts a fresh utterance; "free" re-lists the slot only after
