@@ -336,6 +336,7 @@ class StreamingVocoder:
         lws_colors: int = 4,
         lws_init: str = "advance",
         mel_context: int = 0,
+        mesh=None,
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -344,6 +345,27 @@ class StreamingVocoder:
         self.g_params = g_params
         self.gl_iters = gl_iters
         self.n_streams = n_streams
+        # Data-parallel serving: shard the stream axis over a ('data',)
+        # mesh (advoc_tpu.parallel.data_mesh). Every carry is leading-dim
+        # n_streams and all math is row-wise, so DP is pure annotation —
+        # inputs/carries are device_put with a batch sharding and XLA
+        # partitions the push with zero collectives in the steady state
+        # (only the emit gather crosses devices). The TCP server scales
+        # across chips by just serving a mesh'd vocoder.
+        self.mesh = mesh
+        if mesh is not None:
+            from advoc_tpu.parallel import mesh as mesh_lib
+
+            n_dev = mesh.shape["data"]
+            if n_streams % n_dev:
+                raise ValueError(
+                    f"n_streams={n_streams} must be divisible by the mesh "
+                    f"size {n_dev}"
+                )
+            self._shard = lambda x: mesh_lib.shard_batch(x, mesh)
+            self.g_params = mesh_lib.replicate(g_params, mesh)
+        else:
+            self._shard = lambda x: x
         if emit_dtype not in ("float32", "int16"):
             raise ValueError(f"unknown emit_dtype {emit_dtype!r}")
         if mel_dtype not in ("float32", "float16"):
@@ -531,9 +553,9 @@ class StreamingVocoder:
 
     def _fresh_state(self):
         n, f = self.n_streams, self.params.n_freq
-        tail = jnp.zeros((n, self._ov_samps), jnp.float32)
-        pc = jnp.ones((n, f), jnp.float32)
-        ps = jnp.zeros((n, f), jnp.float32)
+        tail = self._shard(jnp.zeros((n, self._ov_samps), jnp.float32))
+        pc = self._shard(jnp.ones((n, f), jnp.float32))
+        ps = self._shard(jnp.zeros((n, f), jnp.float32))
         return tail, (pc, ps, pc, ps)
 
     def reset(self, stream: int | None = None):
@@ -585,7 +607,7 @@ class StreamingVocoder:
         executable."""
         # The uplink cast happens HOST-side so the tunnel carries the narrow
         # dtype; `run` widens back to f32 before any math.
-        mel_chunk = jnp.asarray(np.asarray(mel_chunk, dtype=self.mel_dtype))
+        mel_chunk = np.asarray(mel_chunk, dtype=self.mel_dtype)
         squeeze = mel_chunk.ndim == 2
         if squeeze:
             assert self.n_streams == 1, (
@@ -595,9 +617,10 @@ class StreamingVocoder:
         assert mel_chunk.shape[:2] == (self.n_streams, self.chunk), (
             mel_chunk.shape, self.n_streams, self.chunk
         )
+        mel_chunk = self._shard(jnp.asarray(mel_chunk))
         if active is None:
             active = np.ones(self.n_streams, bool)
-        active = jnp.asarray(np.asarray(active, dtype=bool))
+        active = self._shard(jnp.asarray(np.asarray(active, dtype=bool)))
         assert active.shape == (self.n_streams,), active.shape
         if self._lws_engine:
             # Emits exactly chunk·hop samples per stream per push, equal to
@@ -606,18 +629,22 @@ class StreamingVocoder:
             # emitted samples (`self.preroll_samples`) are the center-pad
             # pre-roll, which the caller drops once per stream start.
             if self._state_lws is None:
-                self._state_lws = spectral.lws_online_init(
-                    self.n_streams, self.lws_look_ahead, self.params
+                self._state_lws = tuple(
+                    self._shard(x) for x in spectral.lws_online_init(
+                        self.n_streams, self.lws_look_ahead, self.params
+                    )
                 )
             if self._state_ola is None:
-                self._state_ola = spectral.istft_stream_init(
-                    self.n_streams, self.params
+                self._state_ola = tuple(
+                    self._shard(x) for x in spectral.istft_stream_init(
+                        self.n_streams, self.params
+                    )
                 )
             if self._state_mel is None:
-                self._state_mel = jnp.zeros(
+                self._state_mel = self._shard(jnp.zeros(
                     (self.n_streams, 2 * self.mel_context, self.params.n_mels),
                     jnp.float32,
-                )
+                ))
             s_re, s_im, mb = self._state_lws
             ola, ws = self._state_ola
             emit, mel_ctx, s_re, s_im, mb, ola, ws = self._run(
