@@ -161,6 +161,34 @@ class TestVocodeServer:
         finally:
             handle.stop()
 
+    def test_device_failure_propagates_as_error_frame(self):
+        """A push that fails on-device must surface to the waiting client
+        as an ERR frame (not a hang), and the server must keep serving."""
+        sv = make_sv(2)
+        real_push = sv.push
+        calls = {"n": 0}
+
+        def flaky_push(mels, active=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return real_push(mels, active=active)
+
+        sv.push = flaky_push
+        handle = start_in_thread(sv)
+        try:
+            host, port = handle.address
+            mels = mel_chunks(1)
+            with VocodeClient(host, port) as c:
+                with pytest.raises(RuntimeError, match="injected"):
+                    c.vocode(mels[0])
+            # The failed tick didn't kill the batch loop.
+            with VocodeClient(host, port) as c:
+                out = c.vocode(mels[0])
+                assert out.shape == (c.config["emit_samples"],)
+        finally:
+            handle.stop()
+
     def test_bad_payload_gets_error_frame(self, served):
         handle, _ = served
         host, port = handle.address
