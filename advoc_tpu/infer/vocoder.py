@@ -259,8 +259,14 @@ class Vocoder:
 class StreamingVocoder:
     """Low-latency stateful chunk vocoder (small-footprint config).
 
-    Feed mel chunks of ``chunk_frames``; receive waveform chunks. Adjacent
-    chunks are joined with an ``overlap_frames``-long waveform crossfade.
+    Feed consecutive NON-overlapping mel chunks of ``chunk_frames``; receive
+    ``chunk_frames·hop`` waveform samples per push. The gl engine carries
+    the previous chunk's last ``overlap_frames`` magnitude frames
+    internally, runs phase recovery on the widened window, and crossfades
+    the ``overlap``-long region where consecutive windows synthesize the
+    SAME samples (r3 contract fix — see BASELINE.md "gl streaming feed
+    correction"); its emissions trail the input by ``overlap_frames``
+    (``preroll_samples`` of start padding to drop once per stream).
     Exactly one fixed-shape jit call per chunk → constant per-chunk latency.
 
     ``n_streams``: number of independent concurrent streams vocoded per push
@@ -286,19 +292,22 @@ class StreamingVocoder:
     (mel L1 0.0586 fp16 vs 0.0596 f32 on the fixture set; quality-parity
     test in tests/test_infer.py).
 
-    ``phase_engine``: ``"gl"`` (default) = per-chunk Griffin-Lim with the
-    RTISI-style cross-chunk phase carry and waveform crossfade — the
-    throughput path. ``"lws_online"`` = true causal streaming LWS
+    ``phase_engine``: ``"gl"`` (default) = Griffin-Lim over the carried
+    ``[overlap | chunk]`` magnitude window with the RTISI-style cross-chunk
+    phase carry and a real-time-overlapped waveform crossfade — the
+    throughput path (batched G-L iterations; emissions trail the input by
+    ``overlap_frames``). ``"lws_online"`` = true causal streaming LWS
     (``spectral.lws_online_push`` + carried streaming iSTFT): globally
     phase-coherent output with NO crossfade heuristic, equal to offline
     ``lws_online`` of the whole utterance delayed by ``lws_look_ahead``
-    frames (tested); each stream's first ``preroll_samples`` emitted
-    samples are the one-time center-pad pre-roll to drop. On the trained
-    generator it is the QUALITY streaming engine: mel L1 0.0122 at 2-frame
-    (23 ms) look-ahead vs 0.0694 for the gl engine at any iteration count —
-    the gl ceiling is its per-chunk independent phase solve, which the
-    globally coherent stream removes (BASELINE.md). Trade: sequential
-    per-frame updates cost more device time per push.
+    frames (tested), and chunking-invariant — bit-exact across chunk
+    sizes, which the gl crossfade is not; each stream's first
+    ``preroll_samples`` emitted samples are the one-time center-pad
+    pre-roll to drop. Quality is at parity with the (feed-corrected) gl
+    engine at matched latency on the trained generator — mel L1 0.0122 vs
+    0.0117 for gl-16 at 2 frames ≈ 23 ms (BASELINE.md "gl streaming feed
+    correction"). Trade: sequential per-frame updates cost more device
+    time per push.
     ``"lws_block"`` = the same globally coherent LWS stream with the
     block-parallel arrival schedule (``spectral.lws_block_push``): the whole
     chunk enters at once and ``lws_sweeps`` multicolor Gauss-Seidel sweeps
@@ -380,6 +389,11 @@ class StreamingVocoder:
             )
         if not 0 <= mel_context <= chunk_frames:
             raise ValueError(f"mel_context must be in [0, chunk_frames]")
+        if not 0 <= overlap_frames <= chunk_frames:
+            raise ValueError(
+                f"overlap_frames={overlap_frames} must be in "
+                f"[0, chunk_frames={chunk_frames}]"
+            )
         self.emit_dtype = emit_dtype
         self.mel_dtype = np.dtype(mel_dtype)
         self.phase_engine = phase_engine
@@ -399,6 +413,7 @@ class StreamingVocoder:
         # host round-trips of tail+phase were measurable over the axon
         # tunnel.
         self._state_wav: Array | None = None  # (n, ov) pending overlap tails
+        self._state_magtail: Array | None = None  # (n, ov, F) carried mags
         self._state_phase: tuple | None = None  # last frames' unit phase (n, F)
         self._state_lws: tuple | None = None  # lws_online_push carry
         self._state_ola: tuple | None = None  # istft_stream_push carry
@@ -489,16 +504,20 @@ class StreamingVocoder:
             return
 
         ov_samps = overlap_frames * p.hop_length
+        win_frames = overlap_frames + chunk_frames
+        win_samps = win_frames * p.hop_length
         fade = jnp.asarray(np.linspace(0.0, 1.0, ov_samps, dtype=np.float32))
         frame_idx = jnp.asarray(
-            (np.arange(chunk_frames) + 1.0)[:, None], jnp.float32
+            (np.arange(win_frames) + 1.0)[:, None], jnp.float32
         )
 
-        def run(g_params, mel: Array, active, prev_tail: Array,
+        def run(g_params, mel: Array, active, mag_tail: Array,
+                prev_tail: Array,
                 pc: Array, ps: Array, pc1: Array, ps1: Array):
-            # mel (n, chunk, M); active (n,) bool; prev_tail (n, ov);
-            # phases (n, F).
-            olds = (prev_tail, pc, ps, pc1, ps1)
+            # mel (n, chunk, M); active (n,) bool; mag_tail (n, ov, F) =
+            # the previous chunk's last ov magnitude frames; prev_tail
+            # (n, ov·hop) waveform; phases (n, F).
+            olds = (mag_tail, prev_tail, pc, ps, pc1, ps1)
             est = spectral.r9y9_melspec_to_magspec(mel.astype(jnp.float32), p)
             est_norm = spectral.normalize_db(
                 spectral.amp_to_db(est, p) - p.ref_level_db, p
@@ -511,6 +530,16 @@ class StreamingVocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
+            # Phase recovery runs on [carried ov frames | new chunk], so the
+            # G-L window overlaps the previous window by ov frames of REAL
+            # time — the crossfade below blends two estimates of the same
+            # samples. (r3 contract fix: the engine previously ran G-L on
+            # the bare chunk and crossfaded across different time ranges,
+            # which desynchronized the stream by ov frames per chunk; the
+            # feed-corrected A/B in BASELINE.md measured mel L1 0.061 →
+            # 0.0165 on the fixture. The overlap carry now lives inside the
+            # engine so a plain non-overlapping feed is the correct use.)
+            mag_full = jnp.concatenate([mag_tail, mag], axis=1)
             # Continue each stream's previous phase: per-bin instantaneous
             # frequency measured from its last two frames (RTISI-style),
             # extrapolated linearly; G-L then refines from a cross-chunk-
@@ -524,14 +553,16 @@ class StreamingVocoder:
             # both hurts fidelity and makes the carried phase too noisy to
             # help (measured: carry improves mel L1 25% at f32, hurts at bf16).
             wav, (fc, fs) = spectral.griffin_lim(
-                mag, chunk_frames * p.hop_length, n_iters=gl_iters,
+                mag_full, win_samps, n_iters=gl_iters,
                 momentum=0.99, params=p,
                 init_phase=(jnp.cos(ang), jnp.sin(ang)),
                 return_final_phase=True,
-            )  # wav (n, chunk·hop); fc/fs (n, chunk, F)
+            )  # wav (n, (ov+chunk)·hop); fc/fs (n, ov+chunk, F)
             head = wav[:, :ov_samps] * fade + prev_tail * (1.0 - fade)
-            emit = jnp.concatenate([head, wav[:, ov_samps:-ov_samps]], axis=1)
-            tail = wav[:, -ov_samps:]
+            emit = jnp.concatenate(
+                [head, wav[:, ov_samps : win_samps - ov_samps]], axis=1
+            )  # exactly chunk·hop samples, delayed ov·hop behind the input
+            tail = wav[:, win_samps - ov_samps :]
             if self.emit_dtype == "int16":
                 # On-device PCM16 in the save_as_wav convention: identical
                 # samples to float-emit → save_as_wav, at half the downlink.
@@ -539,7 +570,8 @@ class StreamingVocoder:
                     jnp.clip(emit, -1.0, 1.0) * 32767.0
                 ).astype(jnp.int16)
             emit = jnp.where(_bmask(active, emit), emit, 0)
-            news = (tail, fc[:, -1, :], fs[:, -1, :],
+            news = (mag[:, chunk_frames - overlap_frames :], tail,
+                    fc[:, -1, :], fs[:, -1, :],
                     fc[:, -2, :], fs[:, -2, :])
             return (emit,) + tuple(
                 jnp.where(_bmask(active, n), n, o)
@@ -548,15 +580,22 @@ class StreamingVocoder:
 
         self._run = jax.jit(run)
         self._ov_samps = ov_samps
-        self.preroll_samples = 0  # gl engine emits signal-aligned samples
-        self.latency_frames = 0  # (its latency model is the crossfade tail)
+        # Uniform stream-start contract (same as the lws engines): the first
+        # ov·hop emitted samples come from the zero-magnitude pad and are
+        # dropped once per stream; thereafter each push emits exactly
+        # chunk·hop samples, ov·hop behind the newest input.
+        self.preroll_samples = ov_samps
+        self.latency_frames = 0
 
     def _fresh_state(self):
         n, f = self.n_streams, self.params.n_freq
+        mag_tail = self._shard(
+            jnp.zeros((n, self.overlap, f), jnp.float32)
+        )
         tail = self._shard(jnp.zeros((n, self._ov_samps), jnp.float32))
         pc = self._shard(jnp.ones((n, f), jnp.float32))
         ps = self._shard(jnp.zeros((n, f), jnp.float32))
-        return tail, (pc, ps, pc, ps)
+        return mag_tail, tail, (pc, ps, pc, ps)
 
     def reset(self, stream: int | None = None):
         """Reset all streams (default) or one stream's slot for a new
@@ -582,8 +621,10 @@ class StreamingVocoder:
         if stream is None or self._state_wav is None:
             self._state_wav = None
             self._state_phase = None
+            self._state_magtail = None
             return
         self._state_wav = self._state_wav.at[stream].set(0.0)
+        self._state_magtail = self._state_magtail.at[stream].set(0.0)
         pc, ps, pc1, ps1 = self._state_phase
         self._state_phase = (
             pc.at[stream].set(1.0), ps.at[stream].set(0.0),
@@ -591,8 +632,14 @@ class StreamingVocoder:
         )
 
     def push(self, mel_chunk, active=None) -> np.ndarray:
-        """Vocode one window per stream; returns the emitted waveform samples
-        (chunk minus one overlap, crossfaded with the previous chunk's tail).
+        """Vocode one chunk per stream; returns exactly ``chunk_frames·hop``
+        emitted waveform samples per stream (every engine). Chunks are
+        consecutive, NON-overlapping mel frames — any engine-specific
+        overlap/look-ahead is carried inside the engine. Each stream's
+        first ``preroll_samples`` emitted samples are start-of-stream
+        padding for the caller to drop once (gl: the ``overlap_frames``
+        crossfade delay; lws engines: the iSTFT center pad), and lws
+        emissions additionally lag by ``latency_frames``.
 
         Input (chunk_frames, n_mels) → output (emit,) when ``n_streams == 1``;
         input (n_streams, chunk_frames, n_mels) → output (n_streams, emit)
@@ -658,16 +705,19 @@ class StreamingVocoder:
             return out[0] if squeeze else out
         # Tail and phase carries initialize independently (tests ablate the
         # phase carry alone by setting _state_phase = None).
+        if self._state_magtail is None:
+            self._state_magtail = self._fresh_state()[0]
         if self._state_wav is None:
-            self._state_wav = self._fresh_state()[0]
+            self._state_wav = self._fresh_state()[1]
         if self._state_phase is None:
-            self._state_phase = self._fresh_state()[1]
+            self._state_phase = self._fresh_state()[2]
         pc, ps, pc1, ps1 = self._state_phase
-        emit, tail, fc, fs, fc1, fs1 = self._run(
-            self.g_params, mel_chunk, active, self._state_wav, pc, ps,
-            pc1, ps1
+        emit, mag_tail, tail, fc, fs, fc1, fs1 = self._run(
+            self.g_params, mel_chunk, active, self._state_magtail,
+            self._state_wav, pc, ps, pc1, ps1
         )
         # Keep carries on device; fetch only the emitted samples.
+        self._state_magtail = mag_tail
         self._state_wav = tail
         self._state_phase = (fc, fs, fc1, fs1)
         out = np.asarray(emit)

@@ -75,9 +75,7 @@ class VocoderServer:
         # One worker: all sv (device) access happens on this thread.
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         p = sv.params
-        emit = sv.chunk * p.hop_length - (
-            0 if sv.phase_engine != "gl" else sv._ov_samps
-        )
+        emit = sv.chunk * p.hop_length  # uniform across engines
         self._config = {
             "n_slots": sv.n_streams,
             "chunk_frames": sv.chunk,

@@ -180,3 +180,48 @@ class TestStreamServeCLI:
         # so they can differ by up to 1e-3 (was a flaky exact-approx).
         assert r["ms_per_stream"] == pytest.approx(r["p50_ms"] / 2, abs=1e-3)
         assert r["mel_l1"] < 0.2
+
+
+class TestVocodeClientCLI:
+    """scripts/vocode_client.py — file-in / WAV-out through the TCP server."""
+
+    def test_roundtrip_writes_wav_with_fidelity(self, tmp_path, capsys):
+        import json
+        import sys
+
+        from advoc_tpu.infer import StreamingVocoder
+        from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+        from advoc_tpu.serve import start_in_thread
+
+        sys.path.insert(0, "scripts")
+        import vocode_client
+
+        sv = StreamingVocoder(
+            params=P, chunk_frames=16, n_streams=2, gl_iters=4,
+            emit_dtype="int16",
+        )
+        handle = start_in_thread(sv)
+        try:
+            host, port = handle.address
+            out = tmp_path / "out.wav"
+            vocode_client.main([
+                "--host", host, "--port", str(port),
+                "--seconds", "1.0", "--output", str(out), "--fidelity",
+            ])
+        finally:
+            handle.stop()
+        line = next(
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("VOCODE_CLIENT_RESULT ")
+        )
+        r = json.loads(line.split(" ", 1)[1])
+        assert r["mel_l1"] < 0.2
+        assert abs(r["seconds_out"] - 1.0) < 0.1
+
+        from advoc_tpu.data import audioio
+
+        wav = audioio.decode_audio(out, P.sample_rate)
+        # Output is trimmed to whole mel frames (hop multiple) ≈ 1.0 s;
+        # seconds_out in the JSON is rounded to 2 decimals.
+        assert wav.shape[0] % P.hop_length == 0
+        assert abs(wav.shape[0] / P.sample_rate - 1.0) < 0.05

@@ -99,11 +99,29 @@ class TestStreamingVocoder:
         sv = StreamingVocoder(params=P, chunk_frames=64, overlap_frames=8, gl_iters=4)
         chunks = [np.asarray(mel[i * 64 : (i + 1) * 64]) for i in range(2)]
         outs = [sv.push(c) for c in chunks]
-        emit_len = 64 * P.hop_length - 8 * P.hop_length
+        # Uniform emission contract (r3 feed fix): chunk·hop per push, the
+        # first preroll_samples (= overlap·hop) being start padding.
+        emit_len = 64 * P.hop_length
+        assert sv.preroll_samples == 8 * P.hop_length
         assert all(o.shape == (emit_len,) for o in outs)
         assert np.isfinite(np.concatenate(outs)).all()
         sv.reset()
         assert sv._state_wav is None
+
+    def test_stream_matches_signal_alignment(self, mel):
+        """The emitted stream (preroll dropped) must re-extract to the input
+        mels ALIGNED from frame 0 — this is the regression test for the r3
+        feed-desync fix (the engine previously lost overlap_frames of real
+        time per chunk; fixture mel L1 was 0.061, correctly-fed 0.015)."""
+        sv = StreamingVocoder(params=P, chunk_frames=64, overlap_frames=8,
+                              gl_iters=16)
+        chunks = [np.asarray(mel[i * 64 : (i + 1) * 64]) for i in range(2)]
+        sig = np.concatenate([sv.push(c) for c in chunks])
+        sig = sig[sv.preroll_samples :]
+        m2 = sp.waveform_to_r9y9_melspec(jnp.asarray(sig), P)
+        n = min(m2.shape[0], 128) - 1
+        l1 = float(jnp.abs(m2[:n] - mel[:n]).mean())
+        assert l1 < 0.03, l1
 
 
 class TestCheckpoint:
@@ -207,7 +225,7 @@ class TestStreamingPhaseContinuity:
                 outs.append(sv.push(c))
                 if not carry:
                     sv._state_phase = None  # ablate the carry only
-            return np.concatenate(outs)
+            return np.concatenate(outs)[sv.preroll_samples :]
 
         def fidelity(y: np.ndarray) -> float:
             m = sp.waveform_to_r9y9_melspec(jnp.asarray(y), P)
