@@ -6,6 +6,10 @@ Runs each stress class (silence, clipping, noise, chirp, tone, dc —
 objective panel (spec L1, LSD, SNR, re-extracted mel L1) and prints a
 markdown table suitable for BASELINE.md. With ``--train_dir`` the panel runs
 through the trained advoc generator; otherwise the pure heuristic pipeline.
+``--streaming ENGINE`` routes the panel through the chunked
+:class:`StreamingVocoder` path instead of the offline ``Vocoder`` (the
+protocol behind BASELINE.md's streaming stress tables: chunked pushes plus
+a silence flush chunk, preroll/latency-aligned).
 
 VERDICT r1 missing #4: characterize quality outside the speech-like fixture
 distribution, since no LJSpeech exists on this machine.
@@ -20,6 +24,41 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def make_streaming_vocode(g_apply, g_params, params, engine, args):
+    """mel → waveform through chunked StreamingVocoder pushes, stream-start
+    aligned (drop preroll + look-ahead) and trimmed to the input length —
+    the measurement protocol behind BASELINE.md's streaming tables."""
+    import numpy as np
+
+    from advoc_tpu.infer import StreamingVocoder
+
+    kw = dict(gl_iters=args.gl_iters, overlap_frames=args.overlap_frames)
+    if engine != "gl":
+        kw = dict(lws_sweeps=args.lws_sweeps,
+                  lws_look_ahead=args.lws_look_ahead)
+
+    def vocode(mel):
+        mel = np.asarray(mel)
+        t = mel.shape[0]
+        ch = args.chunk_frames
+        sv = StreamingVocoder(
+            g_apply=g_apply, g_params=g_params, params=params,
+            chunk_frames=ch, phase_engine=engine, **kw,
+        )
+        # Pad to whole chunks plus one silence flush chunk so the carried
+        # look-ahead/overlap fully drains.
+        melp = np.pad(mel, ((0, (-t) % ch + ch), (0, 0)))
+        outs = [sv.push(melp[c : c + ch])
+                for c in range(0, melp.shape[0], ch)]
+        stream = np.concatenate(outs)
+        sig = stream[
+            sv.preroll_samples + sv.latency_frames * params.hop_length :
+        ]
+        return sig[: t * params.hop_length]
+
+    return vocode
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train_dir", default=None,
@@ -29,6 +68,13 @@ def main(argv=None) -> None:
     p.add_argument("--n_frames", type=int, default=256)
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--streaming", default=None,
+                   choices=["gl", "lws_online", "lws_block"],
+                   help="run the panel through the StreamingVocoder path")
+    p.add_argument("--chunk_frames", type=int, default=64)
+    p.add_argument("--overlap_frames", type=int, default=8)
+    p.add_argument("--lws_sweeps", type=int, default=None)
+    p.add_argument("--lws_look_ahead", type=int, default=2)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -37,10 +83,10 @@ def main(argv=None) -> None:
     from advoc_tpu.ops.reference import DEFAULT_PARAMS
     from advoc_tpu.train.eval_metrics import stress_panel
 
-    if args.train_dir is None:
-        voc = Vocoder(params=DEFAULT_PARAMS, gl_iters=args.gl_iters)
-        desc = "heuristic"
-    else:
+    g_apply = g_params = None
+    chunk_frames = args.chunk_frames if args.streaming else 256
+    desc = "heuristic"
+    if args.train_dir is not None:
         from advoc_tpu.models.advoc import AdvocGenerator, PatchDiscriminator
         from advoc_tpu.models.advoc.model import AdvocConfig, small_config
         from advoc_tpu.train import gan
@@ -59,12 +105,21 @@ def main(argv=None) -> None:
             raise FileNotFoundError(f"no checkpoint in {args.train_dir}")
         bundle = mgr.restore(template={"g": gstate, "d": dstate})
         mgr.close()
-        voc = Vocoder(
-            g_apply=lambda pr, est: g.apply({"params": pr}, est),
-            g_params=bundle["g"].params, params=DEFAULT_PARAMS,
-            chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
-        )
+        g_apply = lambda pr, est: g.apply({"params": pr}, est)  # noqa: E731
+        g_params = bundle["g"].params
+        chunk_frames = args.chunk_frames if args.streaming else cfg.n_frames
         desc = f"advoc step {step}"
+
+    if args.streaming:
+        voc = make_streaming_vocode(
+            g_apply, g_params, DEFAULT_PARAMS, args.streaming, args
+        )
+        desc += f", streaming {args.streaming} (chunk {args.chunk_frames})"
+    else:
+        voc = Vocoder(
+            g_apply=g_apply, g_params=g_params, params=DEFAULT_PARAMS,
+            chunk_frames=chunk_frames, gl_iters=args.gl_iters,
+        )
 
     panel = stress_panel(voc, n_frames=args.n_frames, seed=args.seed)
     print(f"\nStress panel ({desc}, {args.n_frames} frames, "

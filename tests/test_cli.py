@@ -225,3 +225,28 @@ class TestVocodeClientCLI:
         # seconds_out in the JSON is rounded to 2 decimals.
         assert wav.shape[0] % P.hop_length == 0
         assert abs(wav.shape[0] / P.sample_rate - 1.0) < 0.05
+
+
+class TestStressEvalCLI:
+    """scripts/stress_eval.py — offline + streaming panel protocols."""
+
+    def _run(self, capsys, extra):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        import stress_eval
+
+        stress_eval.main(["--n_frames", "64", "--gl_iters", "2"] + extra)
+        out = capsys.readouterr().out
+        assert "| silence |" in out and "| dc |" in out
+        return out
+
+    def test_offline_heuristic_panel(self, capsys):
+        self._run(capsys, [])
+
+    def test_streaming_panel(self, capsys):
+        out = self._run(capsys, [
+            "--streaming", "lws_block", "--chunk_frames", "16",
+            "--lws_look_ahead", "1", "--lws_sweeps", "1",
+        ])
+        assert "streaming lws_block" in out
