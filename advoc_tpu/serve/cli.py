@@ -56,6 +56,7 @@ def build_vocoder(args):
         g_apply=g_apply, g_params=g_params, params=P,
         chunk_frames=args.chunk_frames, n_streams=args.n_slots,
         gl_iters=args.gl_iters, phase_engine=args.engine,
+        overlap_frames=args.overlap_frames,
         lws_sweeps=args.lws_sweeps, lws_look_ahead=args.lws_look_ahead,
         mel_context=args.mel_context, emit_dtype=args.emit_dtype,
         mel_dtype=args.mel_dtype,
@@ -80,6 +81,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--chunk_frames", type=int, default=64)
     p.add_argument("--gl_iters", type=int, default=16)
+    p.add_argument("--overlap_frames", type=int, default=8,
+                   help="gl engine: crossfade overlap = emission delay "
+                        "(2 ≈ 23 ms is the measured low-latency point)")
     p.add_argument("--lws_sweeps", type=int, default=None)
     p.add_argument("--lws_look_ahead", type=int, default=2)
     p.add_argument("--mel_context", type=int, default=0)
