@@ -238,3 +238,44 @@ class TestServerCLI:
         assert r["n_clients"] == 2
         assert r["ticks"] >= 1
         assert r["p50_ms"] > 0
+
+
+class TestServerWithBundle:
+    def test_selftest_through_exported_bundle(self, tmp_path, capsys):
+        """build_vocoder's bundle branch: export a tiny trained-shape bundle,
+        serve it, and drive one client through the real TCP path."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+
+        from advoc_tpu.models.advoc import AdvocGenerator
+        from advoc_tpu.models.advoc.model import small_config
+        from advoc_tpu.serve.cli import main
+        from advoc_tpu.train.checkpoint import export_inference_bundle
+        from advoc_tpu.utils import apply_overrides
+
+        tiny = "width=8,depth=4,n_frames=16,disc_width=8,dtype=float32"
+        # Must match the CLI's construction exactly: small_config() + the
+        # same --model_overrides string.
+        cfg = apply_overrides(small_config(), tiny)
+        g = AdvocGenerator(cfg)
+        params = g.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+        )["params"]
+        export_inference_bundle(tmp_path / "bundle", params,
+                                {"width": cfg.width})
+
+        main([
+            "--selftest", "1", "--n_slots", "1", "--pushes", "2",
+            "--chunk_frames", "16", "--gl_iters", "2",
+            "--bundle", str(tmp_path / "bundle"),
+            "--model_overrides", tiny,
+        ])
+        out = capsys.readouterr().out
+        line = next(
+            ln for ln in out.splitlines()
+            if ln.startswith("VOCODE_SERVER_RESULT ")
+        )
+        r = json.loads(line.split(" ", 1)[1])
+        assert r["n_clients"] == 1 and r["ticks"] >= 1
