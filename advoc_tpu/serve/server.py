@@ -69,6 +69,7 @@ class VocoderServer:
         self.coalesce_ms = coalesce_ms
         self.stats = ServerStats()
         self._free: list[int] = list(range(sv.n_streams))[::-1]
+        self._writers: set[asyncio.StreamWriter] = set()
         self._queue: asyncio.Queue[_Request] = asyncio.Queue()
         self._server: asyncio.AbstractServer | None = None
         self._batch_task: asyncio.Task | None = None
@@ -107,15 +108,28 @@ class VocoderServer:
         )
 
     async def stop(self) -> None:
+        """Shut down promptly even with connected clients / in-flight work:
+        stop accepting, cancel the batch loop (it fails its in-flight
+        batch's futures on the way out), fail anything still queued, close
+        every live connection, then wait for handlers (3.12's wait_closed
+        blocks until handlers finish — which they can't while parked on
+        futures nobody will resolve, hence the ordering above)."""
         if self._server is not None:
             self._server.close()
-            await self._server.wait_closed()
         if self._batch_task is not None:
             self._batch_task.cancel()
             try:
                 await self._batch_task
             except asyncio.CancelledError:
                 pass
+        while not self._queue.empty():
+            req = self._queue.get_nowait()
+            if req.fut is not None and not req.fut.done():
+                req.fut.cancel()
+        for w in list(self._writers):
+            w.close()
+        if self._server is not None:
+            await self._server.wait_closed()
         self._pool.shutdown(wait=True)
 
     # --- batching core -------------------------------------------------
@@ -141,13 +155,19 @@ class VocoderServer:
                         self._free.append(req.slot)
                 return True
 
-            take(await self._queue.get())
-            while not self._queue.empty():
-                take(self._queue.get_nowait())
-            if self.coalesce_ms and batch:
-                await asyncio.sleep(self.coalesce_ms / 1000.0)
+            try:
+                take(await self._queue.get())
                 while not self._queue.empty():
                     take(self._queue.get_nowait())
+                if self.coalesce_ms and batch:
+                    await asyncio.sleep(self.coalesce_ms / 1000.0)
+                    while not self._queue.empty():
+                        take(self._queue.get_nowait())
+            except asyncio.CancelledError:
+                for req in batch.values():
+                    if not req.fut.done():
+                        req.fut.cancel()
+                raise
 
             def device_tick():
                 for s in resets:
@@ -162,6 +182,11 @@ class VocoderServer:
 
             try:
                 emit = await loop.run_in_executor(self._pool, device_tick)
+            except asyncio.CancelledError:  # server stopping mid-tick
+                for req in batch.values():
+                    if not req.fut.done():
+                        req.fut.cancel()
+                raise
             except Exception as e:  # propagate to the waiting clients
                 for req in batch.values():
                     if not req.fut.done():
@@ -188,6 +213,7 @@ class VocoderServer:
             return
         slot = self._free.pop()
         self.stats.connections += 1
+        self._writers.add(writer)
         writer.write(
             pr.pack(
                 pr.OP_CONFIG,
@@ -234,11 +260,14 @@ class VocoderServer:
                     writer.write(pr.pack(pr.OP_ERR, str(e).encode()))
                     await writer.drain()
                     break
+                except asyncio.CancelledError:
+                    break  # server shutting down: exit cleanly
                 writer.write(pr.pack(pr.OP_PCM, out.tobytes()))
                 await writer.drain()
         except OSError:
             pass  # abrupt client disconnect mid-write: clean up silently
         finally:
+            self._writers.discard(writer)
             # Zero the slot's carry before releasing it so the next lease
             # starts a fresh utterance; "free" re-lists the slot only after
             # any in-flight tick (queue FIFO → applied on the next tick).

@@ -189,6 +189,21 @@ class TestVocodeServer:
         finally:
             handle.stop()
 
+    def test_stop_with_connected_client_returns_promptly(self):
+        """stop() must not hang on a still-connected client (3.12's
+        wait_closed blocks until handlers exit, so the server closes live
+        connections itself); the client then sees EOF."""
+        handle = start_in_thread(make_sv(2))
+        host, port = handle.address
+        c = VocodeClient(host, port)
+        c.vocode(mel_chunks(1)[0])
+        t0 = time.time()
+        handle.stop()  # would raise TimeoutError after 30 s if hung
+        assert time.time() - t0 < 10.0
+        with pytest.raises((ConnectionError, OSError)):
+            c.vocode(mel_chunks(1)[0])
+        c._sock.close()
+
     def test_bad_payload_gets_error_frame(self, served):
         handle, _ = served
         host, port = handle.address
