@@ -1158,15 +1158,20 @@ def r9y9_melspec_to_waveform(
     phase_method: "lws" = the shipped quality path (fast-GL momentum 0.99 —
     see :func:`magspec_to_waveform_lws` for the measured A/B vs true LWS);
     "lws_exact" = the true Local Weighted Sums sweeps (:func:`lws`, n_iters
-    counts sweeps); "lws_online" = causal streaming LWS with asymmetric-
-    window head updates (:func:`lws_online`, n_iters counts per-arrival
-    sweeps, default look-ahead); "griffin_lim" = classic G-L.
+    counts sweeps); "lws_chromatic" = the same fixed point on the
+    4-color schedule (n_iters·4 sequential depth instead of n_iters·T —
+    the device-time option for true LWS); "lws_online" = causal streaming
+    LWS with asymmetric-window head updates (:func:`lws_online`, n_iters
+    counts per-arrival sweeps, default look-ahead); "griffin_lim" =
+    classic G-L.
     """
     mag = r9y9_melspec_to_magspec(mel, params)
     if phase_method == "lws":
         return magspec_to_waveform_lws(mag, n_iters=n_iters, params=params)
     if phase_method == "lws_exact":
         return lws(mag, n_sweeps=n_iters, params=params)
+    if phase_method == "lws_chromatic":
+        return lws(mag, n_sweeps=n_iters, colors=4, params=params)
     if phase_method == "lws_online":
         return lws_online(mag, n_sweeps=n_iters, params=params)
     if phase_method == "griffin_lim":

@@ -428,6 +428,18 @@ class TestLWSOnline:
         np.testing.assert_allclose(
             np.asarray(via_method), np.asarray(direct), atol=1e-6
         )
+        # "lws_chromatic" = lws(colors=4): same fixed point, 4-color
+        # schedule.
+        via_mc = sp.r9y9_melspec_to_waveform(
+            mel, n_iters=1, phase_method="lws_chromatic", params=P
+        )
+        direct_mc = sp.lws(
+            sp.r9y9_melspec_to_magspec(mel, P), n_sweeps=1, colors=4,
+            params=P,
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_mc), np.asarray(direct_mc), atol=1e-6
+        )
 
     def test_push_matches_offline_scan(self, wav):
         """Chunked `lws_online_push` must emit the same frames as one
