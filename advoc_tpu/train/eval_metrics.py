@@ -62,6 +62,102 @@ def vocoder_eval(
     }
 
 
+def stoi(
+    wav_ref,
+    wav_gen,
+    sample_rate: int = DEFAULT_PARAMS.sample_rate,
+) -> float:
+    """Short-Time Objective Intelligibility (Taal et al. 2011), host-side.
+
+    Implemented from the published definition (10 kHz, 256/128 hann frames
+    zero-padded to a 512-point FFT, energy-VAD silent-frame removal at
+    40 dB dynamic range, 15 one-third-octave bands from 150 Hz, 384 ms
+    (N=30 frame) segments, −15 dB SDR clipping, per-band-segment linear
+    correlation averaged over bands × segments). NOTE: verified against the
+    paper's construction and by property tests (identity → 1, monotone
+    degradation under noise), not against the authors' MATLAB reference —
+    treat absolute values as an intelligibility *proxy*, deltas as the
+    meaningful signal. Beyond-reference eval depth (the reference's panel
+    was spectrogram L1 + listening, SURVEY.md §3.2).
+
+    Host/numpy by design: silent-frame removal changes the frame count
+    (data-dependent shape), which has no efficient jit form; eval panels
+    already run host-side plumbing (cf. :func:`stress_panel`).
+
+    Returns NaN when the reference signal has no above-threshold frames
+    (all-silence) or is shorter than one segment after VAD.
+    """
+    import numpy as np
+
+    from advoc_tpu.data.audioio import resample
+
+    fs, flen, hop, nfft, n_bands, seg_n = 10000, 256, 128, 512, 15, 30
+    # β = −15 dB lower SDR bound → clip ȳ at x·(1 + 10^(−β/20)) = x·6.62.
+    clip_hi = 1.0 + 10.0 ** (15.0 / 20.0)
+
+    x = resample(np.asarray(wav_ref, np.float64), sample_rate, fs)
+    y = resample(np.asarray(wav_gen, np.float64), sample_rate, fs)
+    n = min(x.shape[-1], y.shape[-1])
+    x, y = x[:n], y[:n]
+    if n < flen:
+        return float("nan")
+
+    win = np.hanning(flen + 2)[1:-1]  # matches the paper's hanning(256)
+
+    def frames(s: np.ndarray) -> np.ndarray:
+        m = 1 + (len(s) - flen) // hop
+        idx = np.arange(flen)[None] + hop * np.arange(m)[:, None]
+        return s[idx] * win
+
+    # Energy-VAD on the *reference*: drop frame pairs whose windowed clean
+    # energy is >40 dB below the loudest frame, then overlap-add the kept
+    # frames back into contiguous signals (hann at 50% overlap sums to a
+    # constant, so interior samples reconstruct exactly up to that gain).
+    xf, yf = frames(x), frames(y)
+    e = 20.0 * np.log10(np.linalg.norm(xf, axis=1) + 1e-30)
+    # The VAD is relative; an all-(near-)zero reference would keep every
+    # frame and "score" garbage — treat it as undefined instead.
+    if e.max() < -400.0:
+        return float("nan")
+    keep = e > e.max() - 40.0
+    xf, yf = xf[keep], yf[keep]
+
+    def ola(f: np.ndarray) -> np.ndarray:
+        out = np.zeros((f.shape[0] - 1) * hop + flen)
+        for i, fr in enumerate(f):  # few hundred frames; host-side eval
+            out[i * hop : i * hop + flen] += fr
+        return out
+
+    x, y = ola(xf), ola(yf)
+
+    # Band magnitudes: |STFT|² summed per one-third-octave band, sqrt'd.
+    xs, ys = frames(x), frames(y)
+    if xs.shape[0] < seg_n:
+        return float("nan")
+    fx = np.abs(np.fft.rfft(xs, nfft, axis=1)) ** 2  # (M, 257)
+    fy = np.abs(np.fft.rfft(ys, nfft, axis=1)) ** 2
+    freqs = np.arange(nfft // 2 + 1) * fs / nfft
+    cf = 150.0 * 2.0 ** (np.arange(n_bands) / 3.0)
+    lo, hi = cf * 2.0 ** (-1.0 / 6.0), cf * 2.0 ** (1.0 / 6.0)
+    band = (freqs[None, :] >= lo[:, None]) & (freqs[None, :] < hi[:, None])
+    bx = np.sqrt(fx @ band.T + 1e-30).T  # (15, M)
+    by = np.sqrt(fy @ band.T + 1e-30).T
+
+    # 384 ms segments: normalize gen to ref energy per band-segment, clip
+    # at −15 dB SDR, then mean-removed linear correlation.
+    sw = np.lib.stride_tricks.sliding_window_view  # (15, S, 30)
+    xseg, yseg = sw(bx, seg_n, axis=1), sw(by, seg_n, axis=1)
+    alpha = np.linalg.norm(xseg, axis=2, keepdims=True) / (
+        np.linalg.norm(yseg, axis=2, keepdims=True) + 1e-30
+    )
+    yn = np.minimum(yseg * alpha, xseg * clip_hi)
+    xd = xseg - xseg.mean(axis=2, keepdims=True)
+    yd = yn - yn.mean(axis=2, keepdims=True)
+    denom = np.linalg.norm(xd, axis=2) * np.linalg.norm(yd, axis=2) + 1e-30
+    d = (xd * yd).sum(axis=2) / denom
+    return float(d.mean())
+
+
 def melspec_moment_panel(real: Array, fake: Array) -> dict[str, Array]:
     """Distribution metrics for generated mel spectrograms vs a real batch.
 
@@ -122,11 +218,14 @@ def stress_panel(
         mel = spectral.waveform_to_r9y9_melspec(wav, params)
         gen = jnp.asarray(vocoder(mel))[: wav.shape[0]]
         metrics = {k: float(v) for k, v in panel_fn(wav, gen).items()}
-        # snr_db is exempt from the finite check only on the silence class
-        # (zero signal energy → −∞ is legitimate there, nowhere else).
+        metrics["stoi"] = stoi(np.asarray(wav), np.asarray(gen), params.sample_rate)
+        # snr_db/stoi are exempt from the finite check only on the silence
+        # class (zero signal energy → −∞ SNR / undefined STOI is legitimate
+        # there, nowhere else).
         bad = [
             k for k, v in metrics.items()
-            if not (k == "snr_db" and kind == "silence") and not np.isfinite(v)
+            if not (k in ("snr_db", "stoi") and kind == "silence")
+            and not np.isfinite(v)
         ]
         if bad:
             raise FloatingPointError(

@@ -91,3 +91,56 @@ class TestMelspecMomentPanel:
         assert m["eval_mean_gap"] < 1e-5, m
         assert m["eval_std_gap"] < 1e-5, m
         assert m["eval_band_mean_l1"] > 0.1, m
+
+
+class TestStoi:
+    """Property tests for the host-side STOI implementation (absolute
+    values are a proxy — see the stoi docstring; deltas are the signal)."""
+
+    def _speech(self, seed=0, seconds=3.0, sr=22050):
+        return np.asarray(
+            loader.synthetic_speech(seed, int(seconds * sr), sample_rate=sr)
+        )
+
+    def test_identity_is_one(self):
+        x = self._speech()
+        assert em.stoi(x, x) > 0.999
+
+    def test_monotone_under_noise(self):
+        x = self._speech()
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(x.shape)
+        scores = [
+            em.stoi(x, x + sigma * noise) for sigma in (0.0, 0.02, 0.5, 1.0)
+        ]
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+        assert scores[1] > 0.7, scores  # +18 dB SNR: mostly intact
+        assert scores[-1] < 0.4, scores  # −16 dB SNR: clearly degraded
+
+    def test_unrelated_noise_scores_low(self):
+        x = self._speech(seed=3)
+        rng = np.random.default_rng(3)
+        assert em.stoi(x, rng.standard_normal(x.shape)) < 0.3
+
+    def test_bounded(self):
+        x = self._speech(seed=1)
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal(x.shape)
+        s = em.stoi(x, y)
+        assert -1.0 <= s <= 1.0
+
+    def test_silence_reference_is_nan(self):
+        x = np.zeros(44100, np.float32)
+        y = self._speech()[:44100]
+        assert np.isnan(em.stoi(x, y))
+
+    def test_too_short_is_nan(self):
+        x = self._speech()[:1000]
+        assert np.isnan(em.stoi(x, x))
+
+    def test_vad_ignores_padded_silence(self):
+        # Appending silence to both signals must not change the score
+        # (the VAD drops those frames): identity still scores ~1.
+        x = self._speech(seed=2)
+        xp = np.concatenate([x, np.zeros(22050, np.float32)])
+        assert em.stoi(xp, xp) > 0.999
