@@ -103,6 +103,8 @@ def main(argv=None) -> None:
         paths = sorted(inp.rglob("*.wav")) if inp.is_dir() else [inp]
         for s in range(n):
             wav = audioio.decode_audio(paths[s % len(paths)], P.sample_rate)
+            if s == 0:
+                wav0 = np.asarray(wav)  # stream-0 source, for --fidelity
             m = np.asarray(
                 spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
             )
@@ -111,6 +113,8 @@ def main(argv=None) -> None:
     else:
         for s in range(n):
             wav = loader.synthetic_speech(args.seed + s, need * P.hop_length)
+            if s == 0:
+                wav0 = np.asarray(wav)
             mels.append(np.asarray(
                 spectral.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
             )[:need])
@@ -172,6 +176,12 @@ def main(argv=None) -> None:
             l1 = float(np.abs(m2 - mels[0][:n_fr]).mean())
             print(f"stream-0 re-extracted mel L1: {l1:.5f}")
             result["mel_l1"] = round(l1, 5)
+            from advoc_tpu.train.eval_metrics import stoi
+
+            k = min(len(sig), len(wav0))
+            s0 = stoi(wav0[:k], sig[:k], P.sample_rate)
+            print(f"stream-0 STOI (intelligibility proxy): {s0:.4f}")
+            result["stoi"] = round(s0, 4)
     print("STREAM_SERVE_RESULT " + json.dumps(result))
 
 
