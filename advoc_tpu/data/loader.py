@@ -100,6 +100,25 @@ def _slice_plan_eval(n_frames: int, slice_len: int, hop: int) -> list[int]:
     return list(range(0, n_frames - slice_len + 1, hop))
 
 
+_MULAW_LN256 = float(np.log(256.0))
+
+
+def mulaw8_encode(x: np.ndarray) -> np.ndarray:
+    """μ-law-compand a float waveform in [-1, 1] to int8 (μ = 255).
+
+    The quarter-byte training wire: ``y = sign(x)·log1p(255·|x|)/ln(256)``
+    quantized to 255 levels (±127; −128 unused so the code is symmetric).
+    NOT lossless — 8-bit μ-law carries ~38 dB SNR on speech-shaped signals
+    (worst-case absolute error ~0.022 near full scale, relative error ~2%
+    in the small-signal region the companding protects). The device-side
+    inverse is ``train.gan.as_waveform`` (int8 branch). Use when the
+    host→device wire, not quantization noise, limits training throughput;
+    quality-gate evidence in BASELINE.md.
+    """
+    y = np.sign(x) * np.log1p(255.0 * np.minimum(np.abs(x), 1.0)) / _MULAW_LN256
+    return np.clip(np.rint(y * 127.0), -127, 127).astype(np.int8)
+
+
 class _ProducerError:
     """Queue envelope carrying an exception from the producer thread."""
 
@@ -129,8 +148,10 @@ def decode_extract_and_batch(
     synthetic fixtures are PCM16) and HALF the host→device bytes, which is
     the training bottleneck on slow interconnects (the axon tunnel moves
     ~23 MB/s: a 16×65536 f32 batch costs ~220 ms on the wire vs ~130 ms as
-    int16 — BASELINE.md). The jitted train steps normalize int16 back to
-    float on device (``train.gan.as_waveform``).
+    int16 — BASELINE.md). "mulaw8" ships μ-law-companded int8 (quarter the
+    f32 bytes; lossy ~38 dB — see :func:`mulaw8_encode`; quality-gate
+    evidence in BASELINE.md). The jitted train steps normalize integer
+    wires back to float on device (``train.gan.as_waveform``).
 
     Training mode (``repeat=True, shuffle=True``): infinite stream of random
     crops (random file, random offset). Eval mode (``repeat=False,
@@ -161,8 +182,10 @@ def decode_extract_and_batch(
                 "scripts/prepare_dataset.py"
             )
 
-    if out_dtype not in ("float32", "int16"):
-        raise ValueError(f"out_dtype must be float32 or int16, got {out_dtype!r}")
+    if out_dtype not in ("float32", "int16", "mulaw8"):
+        raise ValueError(
+            f"out_dtype must be float32, int16 or mulaw8, got {out_dtype!r}"
+        )
 
     def decode_one(args) -> np.ndarray:
         fp, start = args
@@ -175,6 +198,8 @@ def decode_extract_and_batch(
             # ×32768 mirrors the decoder's /32768: PCM16 samples round-trip
             # to their exact original integer values.
             return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+        if out_dtype == "mulaw8":
+            return mulaw8_encode(x)
         return x
 
     def gen_indices() -> Iterable[tuple[str, int]]:

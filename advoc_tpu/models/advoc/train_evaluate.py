@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer_dir", default=None)
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--h2d_dtype", choices=["int16", "float32"],
+    p.add_argument("--h2d_dtype", choices=["int16", "float32", "mulaw8"],
                    default="int16",
                    help="wire dtype for train batches; int16 halves "
                         "host-to-device bytes (lossless for PCM16 sources) "

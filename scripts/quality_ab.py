@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--h2d_dtype", choices=["int16", "float32", "mulaw8"],
+                   default="int16",
+                   help="training wire format under test (the model/optimizer "
+                        "arms stay identical; the wire is the variant)")
     p.add_argument("--fixture_dir", default="/tmp/advoc_ab_fixture")
     args = p.parse_args(argv)
 
@@ -70,7 +74,7 @@ def main(argv=None) -> None:
     slice_len = cfg.n_frames * P.hop_length
     it = loader.decode_extract_and_batch(
         fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed,
-        sample_rate=P.sample_rate, out_dtype="int16",
+        sample_rate=P.sample_rate, out_dtype=args.h2d_dtype,
     )
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
@@ -92,7 +96,7 @@ def main(argv=None) -> None:
     agg = {k: float(np.mean([e[k] for e in evs])) for k in evs[0]}
     print(
         f"RESULT overrides={args.overrides!r} steps={args.steps} "
-        f"seed={args.seed} time={dt:.0f}s "
+        f"seed={args.seed} wire={args.h2d_dtype} time={dt:.0f}s "
         + " ".join(f"{k}={v:.4f}" for k, v in sorted(agg.items())),
         flush=True,
     )

@@ -143,6 +143,39 @@ class TestLoader:
         back = np.asarray(gan.as_waveform(jnp.asarray(bi)))
         np.testing.assert_allclose(back, bf, atol=1e-6)
 
+    def test_mulaw8_wire_roundtrip_within_quantization_bound(self, wav_dir):
+        # μ-law int8 quarters H2D bytes at ~38 dB quantization SNR: the
+        # round trip through gan.as_waveform must stay within the μ-law
+        # step bound everywhere and within ~2% relative for small signals.
+        import jax.numpy as jnp
+
+        from advoc_tpu.train import gan
+
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        kw = dict(batch_size=4, slice_len=4096, repeat=True, seed=7)
+        bf = next(loader.decode_extract_and_batch(fps, **kw))
+        bq = next(loader.decode_extract_and_batch(fps, out_dtype="mulaw8", **kw))
+        assert bq.dtype == np.int8
+        back = np.asarray(gan.as_waveform(jnp.asarray(bq)))
+        # worst-case half step in y-space maps through the companding
+        # derivative ln(256)·(1/255 + |x|), evaluated where it is largest
+        # over the cell (the louder of input and reconstruction).
+        amp = np.maximum(np.abs(bf), np.abs(back))
+        bound = 0.5 * (np.log(256.0) / 127.0) * (1.0 / 255.0 + amp) + 1e-6
+        assert np.all(np.abs(back - bf) <= bound)
+        # companding preserves small-signal relative precision
+        small = np.abs(bf) > 1e-3
+        rel = np.abs(back[small] - bf[small]) / np.abs(bf[small])
+        assert np.median(rel) < 0.02
+
+    def test_mulaw8_encode_symmetric_and_monotone(self):
+        x = np.linspace(-1.0, 1.0, 4097, dtype=np.float32)
+        q = loader.mulaw8_encode(x)
+        assert q.min() == -127 and q.max() == 127
+        assert np.array_equal(loader.mulaw8_encode(-x), -q)  # odd symmetry
+        assert np.all(np.diff(q.astype(np.int32)) >= 0)  # monotone
+        assert loader.mulaw8_encode(np.zeros(3, np.float32)).tolist() == [0, 0, 0]
+
     def test_bad_out_dtype_raises(self, wav_dir):
         fps = sorted(str(p) for p in wav_dir.iterdir())
         with pytest.raises(ValueError, match="out_dtype"):
