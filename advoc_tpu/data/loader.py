@@ -142,7 +142,7 @@ def decode_extract_and_batch(
 ) -> Iterator[np.ndarray]:
     """Yield (batch_size, slice_len) waveform batches.
 
-    ``out_dtype``: "float32" (default) or "int16". int16 batches carry
+    ``out_dtype``: "float32" (default), "int16", or "mulaw8". int16 batches carry
     ``round(x·32768)`` (the exact inverse of the wav decoder's /32768 and of
     ``train.gan.as_waveform``) — lossless for 16-bit PCM sources (LJSpeech and the
     synthetic fixtures are PCM16) and HALF the host→device bytes, which is

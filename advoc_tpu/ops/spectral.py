@@ -909,6 +909,28 @@ def lws_online_init(
     return (z, jnp.zeros_like(z), mb)
 
 
+def lws_online_drain(
+    carry,
+    look_ahead: int = 2,
+    params: AudioParams = DEFAULT_PARAMS,
+):
+    """End-of-stream drain: the ``look_ahead`` frames still refining in a
+    :func:`lws_online_push` / :func:`lws_block_push` carry.
+
+    Returns ``(re, im)`` of shape (B, look_ahead, F) — the frames that would
+    never be emitted by further pushes because no more input arrives. They
+    are taken as-is, exactly what offline :func:`lws_online` does with its
+    buffer tail after the last arrival step (see its emit logic), so a
+    chunked stream that is pushed to completion and then drained emits the
+    same final frames as the offline scan. Both streaming carries share this
+    buffer layout (head frame at index ``look_ahead + Q - 1``).
+    """
+    s_re, s_im, _ = carry
+    Q = params.n_fft // params.hop_length
+    H = look_ahead + Q - 1
+    return s_re[:, H - look_ahead + 1 : H + 1], s_im[:, H - look_ahead + 1 : H + 1]
+
+
 def lws_online_push(
     mag_chunk: Array,
     carry,

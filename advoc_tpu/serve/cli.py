@@ -114,6 +114,7 @@ def main(argv=None) -> None:
         np.zeros((args.n_slots, args.chunk_frames, sv.params.n_mels)),
         active=np.zeros(args.n_slots, bool),
     )
+    sv.flush(active=np.zeros(args.n_slots, bool))
     sv.reset()
     print(f"warmup compile: {time.perf_counter() - t0:.1f} s", flush=True)
 
@@ -157,6 +158,9 @@ def main(argv=None) -> None:
                 out = c.vocode(mel[k * ch : (k + 1) * ch])
                 lat_ms[i].append((time.perf_counter() - t0) * 1000.0)
                 assert out.shape == (c.config["emit_samples"],)
+            # End-of-utterance drain: the engine's pending tail samples.
+            tail = c.flush()
+            assert tail.shape == (c.config["flush_samples"],)
 
     threads = [
         threading.Thread(target=run_client, args=(i,)) for i in range(n)

@@ -57,6 +57,21 @@ class VocodeClient:
             raise RuntimeError(f"expected PCM, got op {op}")
         return np.frombuffer(payload, self._emit_dtype)
 
+    def flush(self) -> np.ndarray:
+        """End the current utterance: returns the stream's pending
+        ``config["flush_samples"]`` samples (the engine's look-ahead/overlap
+        tail — without this call the utterance's final samples are lost)
+        and resets the slot for a new utterance. Full-utterance assembly:
+        drop the first ``flush_samples`` (= preroll + latency) of
+        ``concat(pushes) + flush()`` and crop to the true length."""
+        self._sock.sendall(pr.pack(pr.OP_FLUSH))
+        op, payload = pr.read_frame_sync(self._sock)
+        if op == pr.OP_ERR:
+            raise RuntimeError(payload.decode())
+        if op != pr.OP_PCM:
+            raise RuntimeError(f"expected PCM, got op {op}")
+        return np.frombuffer(payload, self._emit_dtype)
+
     def reset(self) -> None:
         """Start a new utterance in this slot (applies before the next
         push; no reply frame)."""

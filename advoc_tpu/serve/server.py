@@ -30,7 +30,7 @@ from advoc_tpu.serve import protocol as pr
 
 @dataclass
 class _Request:
-    kind: str  # "push" | "reset" | "free"
+    kind: str  # "push" | "flush" | "reset" | "free"
     slot: int
     mel: np.ndarray | None = None
     fut: asyncio.Future | None = None
@@ -40,6 +40,7 @@ class _Request:
 class ServerStats:
     connections: int = 0
     pushes: int = 0
+    flushes: int = 0
     ticks: int = 0
 
     @property
@@ -89,6 +90,7 @@ class VocoderServer:
             "phase_engine": sv.phase_engine,
             "preroll_samples": sv.preroll_samples,
             "latency_frames": sv.latency_frames,
+            "flush_samples": sv.flush_samples,
         }
         self._chunk_bytes = (
             sv.chunk * p.n_mels * np.dtype(sv.mel_dtype).itemsize
@@ -140,15 +142,22 @@ class VocoderServer:
         mel_dt = np.dtype(sv.mel_dtype)
         while True:
             batch: dict[int, _Request] = {}
+            flushes: dict[int, _Request] = {}
             resets: list[int] = []
 
+            def waiting():
+                return list(batch.values()) + list(flushes.values())
+
             def take(req: _Request) -> bool:
-                # A slot's handler never pipelines pushes, so one push per
-                # slot per tick holds by construction; a push after a
-                # queued reset of the same slot stays ordered because
-                # resets apply before the tick's device call.
+                # A slot's handler never pipelines requests, so at most one
+                # replied-to request (push OR flush) per slot per tick holds
+                # by construction; a push/flush after a queued reset of the
+                # same slot stays ordered because resets apply before the
+                # tick's device calls.
                 if req.kind == "push":
                     batch[req.slot] = req
+                elif req.kind == "flush":
+                    flushes[req.slot] = req
                 else:  # "reset" and "free" both zero the slot's carry
                     resets.append(req.slot)
                     if req.kind == "free":
@@ -164,7 +173,7 @@ class VocoderServer:
                     while not self._queue.empty():
                         take(self._queue.get_nowait())
             except asyncio.CancelledError:
-                for req in batch.values():
+                for req in waiting():
                     if not req.fut.done():
                         req.fut.cancel()
                 raise
@@ -172,34 +181,46 @@ class VocoderServer:
             def device_tick():
                 for s in resets:
                     sv.reset(stream=s)
-                if not batch:
-                    return None
-                mels = np.zeros((n, ch, self._config["n_mels"]), mel_dt)
-                active = np.zeros(n, bool)
-                for s, req in batch.items():
-                    mels[s], active[s] = req.mel, True
-                return sv.push(mels, active=active)
+                emit_push = emit_flush = None
+                if batch:
+                    mels = np.zeros((n, ch, self._config["n_mels"]), mel_dt)
+                    active = np.zeros(n, bool)
+                    for s, req in batch.items():
+                        mels[s], active[s] = req.mel, True
+                    emit_push = sv.push(mels, active=active)
+                if flushes:
+                    fmask = np.zeros(n, bool)
+                    for s in flushes:
+                        fmask[s] = True
+                    emit_flush = np.atleast_2d(sv.flush(active=fmask))
+                return emit_push, emit_flush
 
             try:
-                emit = await loop.run_in_executor(self._pool, device_tick)
+                emit, emit_f = await loop.run_in_executor(
+                    self._pool, device_tick
+                )
             except asyncio.CancelledError:  # server stopping mid-tick
-                for req in batch.values():
+                for req in waiting():
                     if not req.fut.done():
                         req.fut.cancel()
                 raise
             except Exception as e:  # propagate to the waiting clients
-                for req in batch.values():
+                for req in waiting():
                     if not req.fut.done():
                         req.fut.set_exception(
                             RuntimeError(f"vocode failed: {e!r}")
                         )
                 continue
-            if batch:
+            if batch or flushes:
                 self.stats.ticks += 1
                 self.stats.pushes += len(batch)
+                self.stats.flushes += len(flushes)
             for s, req in batch.items():
                 if not req.fut.done():
                     req.fut.set_result(np.ascontiguousarray(emit[s]))
+            for s, req in flushes.items():
+                if not req.fut.done():
+                    req.fut.set_result(np.ascontiguousarray(emit_f[s]))
 
     # --- per-connection handler -----------------------------------------
     async def _handle(
@@ -231,6 +252,20 @@ class VocoderServer:
                     break
                 if op == pr.OP_RESET:
                     await self._queue.put(_Request("reset", slot))
+                    continue
+                if op == pr.OP_FLUSH:
+                    fut = loop.create_future()
+                    await self._queue.put(_Request("flush", slot, None, fut))
+                    try:
+                        out = await fut
+                    except RuntimeError as e:
+                        writer.write(pr.pack(pr.OP_ERR, str(e).encode()))
+                        await writer.drain()
+                        break
+                    except asyncio.CancelledError:
+                        break  # server shutting down: exit cleanly
+                    writer.write(pr.pack(pr.OP_PCM, out.tobytes()))
+                    await writer.drain()
                     continue
                 if op != pr.OP_PUSH:
                     writer.write(pr.pack(pr.OP_ERR, f"bad op {op}".encode()))

@@ -14,6 +14,7 @@ parallelism mode).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -25,6 +26,11 @@ from advoc_tpu.ops import spectral
 from advoc_tpu.ops.reference import AudioParams
 
 Array = jax.Array
+
+# ln(256): the μ-law expansion constant. The encode half lives in
+# data.loader._MULAW_LN256 — the two must stay equal (asserted in
+# tests/test_data.py) or the int8 wire silently decodes wrong.
+_MULAW_LN256 = math.log(256.0)
 
 
 class TrainState(train_state.TrainState):
@@ -113,8 +119,10 @@ def as_waveform(batch: Array) -> Array:
     step so the conversion happens on device, after the cheap transfer.
     """
     if batch.dtype == jnp.int8:
-        y = batch.astype(jnp.float32) * (1.0 / 127.0)
-        return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * 5.545177444479562) / 255.0)
+        # |y| clamped to 1 so a foreign −128 (never produced by
+        # mulaw8_encode, which clips to ±127) still decodes inside [−1, 1].
+        y = jnp.clip(batch.astype(jnp.float32) * (1.0 / 127.0), -1.0, 1.0)
+        return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * _MULAW_LN256) / 255.0)
     if jnp.issubdtype(batch.dtype, jnp.integer):
         return batch.astype(jnp.float32) * (1.0 / 32768.0)
     return batch.astype(jnp.float32)

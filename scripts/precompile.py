@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Serving cold-start tool: pre-populate the JAX compilation cache.
+
+Fresh compiles on the axon remote-compile tunnel are brutal (the fused
+T=5376 tiled G-L graph measured ~34 min, BASELINE.md r3), and the serving
+CLI warms exactly one shape — any other shape/config hit in production pays
+its compile live (VERDICT r3 weak #3). This script enumerates the
+production shape buckets — streaming push+flush per engine × slot count,
+and long-form Vocoder length buckets — compiles each into
+``JAX_COMPILATION_CACHE_DIR`` (default ``/root/.jax_cache``), and reports
+per-shape compile seconds. Run it once per deployment config (or after a
+jax/advoc upgrade); a subsequent server start then only replays cache hits.
+
+    python scripts/precompile.py --engines gl,lws_block --n_slots 16 \
+        --longform_seconds 15,30,60 [--bundle runs/advoc/bundle]
+
+Prints ONE machine-readable line ``PRECOMPILE_RESULT {...}``. Measure
+cold-vs-warm by running twice: the second run's times are the cache-hit
+replay cost a production server start pays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    from advoc_tpu.serve.cli import add_args
+
+    add_args(p)  # same model/engine/shape flags as the serving CLI
+    p.add_argument("--engines", default=None,
+                   help="comma list overriding --engine (e.g. gl,lws_block)")
+    p.add_argument("--longform_seconds", default="30",
+                   help="comma list of offline Vocoder utterance lengths to "
+                        "compile (bucketed to chunk multiples); '' = none")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+    from advoc_tpu.serve.cli import build_vocoder
+
+    engines = (args.engines or args.engine).split(",")
+    shapes: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # --- streaming: push + flush per engine at the serving batch shape ---
+    for engine in engines:
+        args.engine = engine
+        sv = build_vocoder(args)
+        mels = np.zeros(
+            (args.n_slots, args.chunk_frames, sv.params.n_mels), np.float32
+        )
+        inactive = np.zeros(args.n_slots, bool)
+        t0 = time.perf_counter()
+        sv.push(mels, active=inactive)  # mask is traced: one executable
+        shapes[f"stream_push:{engine}:B{args.n_slots}x{args.chunk_frames}"] = (
+            time.perf_counter() - t0
+        )
+        t0 = time.perf_counter()
+        sv.flush(active=inactive)
+        shapes[f"stream_flush:{engine}:B{args.n_slots}"] = (
+            time.perf_counter() - t0
+        )
+        log(f"[precompile] {engine}: push+flush compiled")
+
+    # --- long-form offline Vocoder length buckets ---
+    secs = [float(s) for s in args.longform_seconds.split(",") if s]
+    if secs:
+        from advoc_tpu.infer import Vocoder
+
+        # Same generator config the serving vocoder used (or heuristic).
+        sv0 = build_vocoder(args)
+        # Offline long-form runs the bulk-quality iteration budget (30),
+        # independent of the streaming --gl_iters knob.
+        voc = Vocoder(
+            g_apply=sv0.g_apply, g_params=sv0.g_params, params=P,
+            gl_iters=30,
+        )
+        for s in secs:
+            t_frames = voc.bucket(int(s * P.sample_rate / P.hop_length))
+            mel = np.zeros((1, t_frames, P.n_mels), np.float32)
+            t0 = time.perf_counter()
+            np.asarray(voc._compiled(t_frames)(voc.g_params, mel))
+            shapes[f"vocoder:{t_frames}frames(~{s:g}s)"] = (
+                time.perf_counter() - t0
+            )
+            log(f"[precompile] long-form {s:g}s (bucket {t_frames}) compiled")
+
+    total = time.perf_counter() - t_all
+    result = {
+        "cache_dir": os.environ["JAX_COMPILATION_CACHE_DIR"],
+        "total_s": round(total, 1),
+        "shapes": {k: round(v, 1) for k, v in shapes.items()},
+    }
+    print("PRECOMPILE_RESULT " + json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

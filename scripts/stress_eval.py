@@ -9,7 +9,7 @@ through the trained advoc generator; otherwise the pure heuristic pipeline.
 ``--streaming ENGINE`` routes the panel through the chunked
 :class:`StreamingVocoder` path instead of the offline ``Vocoder`` (the
 protocol behind BASELINE.md's streaming stress tables: chunked pushes plus
-a silence flush chunk, preroll/latency-aligned).
+the end-of-utterance ``flush()``, flush_samples-aligned).
 
 VERDICT r1 missing #4: characterize quality outside the speech-like fixture
 distribution, since no LJSpeech exists on this machine.
@@ -45,15 +45,15 @@ def make_streaming_vocode(g_apply, g_params, params, engine, args):
             g_apply=g_apply, g_params=g_params, params=params,
             chunk_frames=ch, phase_engine=engine, **kw,
         )
-        # Pad to whole chunks plus one silence flush chunk so the carried
-        # look-ahead/overlap fully drains.
-        melp = np.pad(mel, ((0, (-t) % ch + ch), (0, 0)))
+        # Pad to whole chunks (fixed-shape pushes), then flush() — the
+        # real end-of-utterance contract, not the pre-flush silence-pad
+        # workaround.
+        melp = np.pad(mel, ((0, (-t) % ch), (0, 0)))
         outs = [sv.push(melp[c : c + ch])
                 for c in range(0, melp.shape[0], ch)]
+        outs.append(sv.flush())
         stream = np.concatenate(outs)
-        sig = stream[
-            sv.preroll_samples + sv.latency_frames * params.hop_length :
-        ]
+        sig = stream[sv.flush_samples :]
         return sig[: t * params.hop_length]
 
     return vocode

@@ -63,6 +63,10 @@ def main(argv=None) -> None:
             t0 = time.perf_counter()
             pcm.append(c.vocode(mel_pad[k * ch : (k + 1) * ch]))
             lat_ms.append((time.perf_counter() - t0) * 1000.0)
+        # End-of-utterance drain: the engine's pending look-ahead/overlap
+        # tail — without it the final samples would be lost whenever the
+        # tail-chunk pad is shorter than the engine latency.
+        pcm.append(c.flush())
 
     out = np.concatenate(pcm).astype(np.float32)
     if cfg["emit_dtype"] == "int16":

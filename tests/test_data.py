@@ -168,6 +168,28 @@ class TestLoader:
         rel = np.abs(back[small] - bf[small]) / np.abs(bf[small])
         assert np.median(rel) < 0.02
 
+    def test_mulaw8_codec_constants_match(self):
+        # The encode (loader) and decode (gan.as_waveform) halves of the
+        # μ-law codec each carry their own ln(256); they must stay equal
+        # or the int8 wire silently decodes wrong (ADVICE r3).
+        from advoc_tpu.train import gan
+
+        assert gan._MULAW_LN256 == loader._MULAW_LN256
+
+    def test_mulaw8_foreign_minus128_decodes_in_range(self):
+        # −128 is never produced by mulaw8_encode (clips to ±127) but a
+        # foreign int8 array may contain it; the decoder clamps so the
+        # result stays inside [−1, 1] (ADVICE r3).
+        import jax.numpy as jnp
+
+        from advoc_tpu.train import gan
+
+        out = np.asarray(
+            gan.as_waveform(jnp.asarray([-128, -127, 127], jnp.int8))
+        )
+        assert np.all(np.abs(out) <= 1.0)
+        np.testing.assert_allclose(out[0], out[1], rtol=0, atol=1e-7)
+
     def test_mulaw8_encode_symmetric_and_monotone(self):
         x = np.linspace(-1.0, 1.0, 4097, dtype=np.float32)
         q = loader.mulaw8_encode(x)

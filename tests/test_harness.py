@@ -71,6 +71,65 @@ class TestTrainLoop:
         assert mgr.latest_step() == 1  # diverged checkpoint saved
         mgr.close()
 
+    def test_explosion_guard_trips_on_finite_divergence(self, tmp_path):
+        """The r3 conditional-WaveGAN failure mode: loss blows up by orders
+        of magnitude while staying finite — the NaN guard can't see it;
+        the EMA trip-wire must (VERDICT r3 weak #5)."""
+        g, d = _stub_states()
+        calls = {"n": 0}
+
+        def exploding_step(gstate, dstate, batch, rng):
+            calls["n"] += 1
+            v = 0.01 if calls["n"] < 4 else 300.0  # finite explosion
+            return gstate, dstate, {"d_loss": jnp.float32(v)}
+
+        with pytest.raises(FloatingPointError, match="explosion"):
+            harness.train_loop(
+                exploding_step, g, d, _batches(10), str(tmp_path),
+                max_steps=10, ckpt_every=100, log_every=100,
+                nan_check_every=1,
+            )
+        mgr = CheckpointManager(tmp_path)
+        assert mgr.latest_step() == 4  # diverged checkpoint saved at trip
+        mgr.close()
+
+    def test_explosion_guard_tolerates_high_warmup_and_nonloss(self, tmp_path):
+        """The first check only seeds the EMA (high warm-up losses don't
+        false-trip), the ratio gates on max(EMA, 1) (small-loss jitter
+        doesn't trip), and non-loss metrics are exempt."""
+        g, d = _stub_states()
+        calls = {"n": 0}
+
+        def decaying_step(gstate, dstate, batch, rng):
+            calls["n"] += 1
+            return gstate, dstate, {
+                "g_loss": jnp.float32(100.0 / calls["n"]),  # high warm-up
+                "d_loss": jnp.float32(0.001 * calls["n"]),  # small jitter up
+                "grad_norm": jnp.float32(1e6),  # not a loss: exempt
+            }
+
+        _, _, step = harness.train_loop(
+            decaying_step, g, d, _batches(6), str(tmp_path), max_steps=6,
+            ckpt_every=100, log_every=100, nan_check_every=1,
+        )
+        assert step == 6  # completed, no trip
+
+    def test_explosion_guard_disabled(self, tmp_path):
+        g, d = _stub_states()
+        calls = {"n": 0}
+
+        def exploding_step(gstate, dstate, batch, rng):
+            calls["n"] += 1
+            v = 0.01 if calls["n"] < 3 else 1e9
+            return gstate, dstate, {"d_loss": jnp.float32(v)}
+
+        _, _, step = harness.train_loop(
+            exploding_step, g, d, _batches(5), str(tmp_path / "off"),
+            max_steps=5, ckpt_every=100, log_every=100, nan_check_every=1,
+            explode_ratio=0.0,
+        )
+        assert step == 5
+
 
 class TestRunConfig:
     """ADVICE r2 #2: config drift must fail loudly, not as a template error."""

@@ -594,6 +594,160 @@ class TestMaskedPush:
         np.testing.assert_array_equal(o3[1], s2[1])
 
 
+class TestFlush:
+    """`StreamingVocoder.flush()` — the end-of-utterance drain (VERDICT r3
+    next #1). Contract (every engine): flush emits exactly
+    ``flush_samples = preroll_samples + latency_frames·hop`` per stream;
+    the assembled stream (pushes + flush, ``flush_samples`` dropped from
+    the head) is EXACTLY T·hop aligned samples with the previously-lost
+    final audio present; flushed streams behave like freshly-reset ones;
+    the masked form leaves inactive rows' carry bit-exact."""
+
+    ENGINES = [
+        ("gl", dict(gl_iters=4, overlap_frames=8)),
+        ("lws_online", dict(lws_look_ahead=1, lws_sweeps=1)),
+        ("lws_block", dict(lws_look_ahead=1, lws_sweeps=2)),
+    ]
+    CH = 16
+
+    def _mel(self, chunks, seed=0, ch=None):
+        ch = ch or self.CH
+        wav = loader.synthetic_speech(seed, ch * chunks * P.hop_length)
+        m = sp.waveform_to_r9y9_melspec(jnp.asarray(wav), P)
+        return np.asarray(m[: ch * chunks]).reshape(chunks, ch, P.n_mels)
+
+    def _sv(self, engine, kw, **extra):
+        return StreamingVocoder(
+            params=P, chunk_frames=self.CH, phase_engine=engine,
+            **kw, **extra
+        )
+
+    @pytest.mark.parametrize("engine,kw", ENGINES)
+    def test_assembled_stream_is_exact_length_and_complete(self, engine, kw):
+        chunks = 4
+        mel = self._mel(chunks)
+        T = chunks * self.CH
+        sv = self._sv(engine, kw)
+        outs = [sv.push(mel[c]) for c in range(chunks)]
+        tail = sv.flush()
+        assert tail.shape == (sv.flush_samples,)
+        assert sv.flush_samples == (
+            sv.preroll_samples + sv.latency_frames * P.hop_length
+        )
+        sig = np.concatenate(outs + [tail])[sv.flush_samples :]
+        assert sig.shape == (T * P.hop_length,)  # exact, nothing lost
+        # The final frames — previously un-emittable — must carry the
+        # signal: re-extraction over the WHOLE aligned range, including
+        # the last frames, stays within the engine-quality envelope.
+        m2 = sp.waveform_to_r9y9_melspec(jnp.asarray(sig), P)
+        l1_all = float(jnp.abs(m2[1 : T - 1] - mel.reshape(-1, P.n_mels)[1 : T - 1]).mean())
+        l1_tail = float(
+            jnp.abs(m2[T - 8 : T - 1] - mel.reshape(-1, P.n_mels)[T - 8 : T - 1]).mean()
+        )
+        assert l1_all < 0.15, (engine, l1_all)
+        assert l1_tail < 0.3, (engine, l1_tail)
+        # And the flushed tail actually contains audio (the signal is
+        # voiced to the end): the regression this guards is the silent
+        # loss of the final overlap/look-ahead samples.
+        mid_rms = float(np.sqrt((sig[len(sig) // 2 :][: 4096] ** 2).mean()))
+        end_rms = float(np.sqrt((sig[-sv.flush_samples :] ** 2).mean()))
+        assert end_rms > 0.05 * mid_rms, (engine, end_rms, mid_rms)
+
+    @pytest.mark.parametrize("engine,kw", ENGINES)
+    def test_flush_resets_stream(self, engine, kw):
+        mel = self._mel(2)
+        sv = self._sv(engine, kw)
+        sv.push(mel[0])
+        sv.flush()
+        again = sv.push(mel[0])  # same executable, fresh carry
+        fresh = self._sv(engine, kw)
+        first = fresh.push(mel[0])
+        np.testing.assert_array_equal(again, first)
+
+    @pytest.mark.parametrize("engine,kw", ENGINES)
+    def test_masked_flush_is_row_independent(self, engine, kw):
+        mel_a, mel_b = self._mel(2, seed=0), self._mel(2, seed=1)
+        sv = StreamingVocoder(
+            params=P, chunk_frames=self.CH, n_streams=2,
+            phase_engine=engine, **kw
+        )
+        sv.push(np.stack([mel_a[0], mel_b[0]]))
+        out = sv.flush(active=[False, True])
+        assert out.shape == (2, sv.flush_samples)
+        np.testing.assert_array_equal(out[0], np.zeros_like(out[0]))
+        # Row 0's carry untouched: its next push equals the uninterrupted
+        # run's; row 1 flushed → behaves fresh.
+        o2 = sv.push(np.stack([mel_a[1], mel_b[0]]))
+        ref = StreamingVocoder(
+            params=P, chunk_frames=self.CH, n_streams=2,
+            phase_engine=engine, **kw
+        )
+        ref.push(np.stack([mel_a[0], mel_b[0]]))
+        r2 = ref.push(np.stack([mel_a[1], mel_b[0]]))
+        np.testing.assert_array_equal(o2[0], r2[0])
+        fresh = StreamingVocoder(
+            params=P, chunk_frames=self.CH, n_streams=2,
+            phase_engine=engine, **kw
+        )
+        f1 = fresh.push(np.stack([mel_a[1], mel_b[0]]))
+        np.testing.assert_array_equal(o2[1], f1[1])
+
+    def test_flush_never_pushed_is_zeros(self):
+        for engine, kw in self.ENGINES:
+            sv = self._sv(engine, kw)
+            tail = sv.flush()
+            np.testing.assert_array_equal(tail, np.zeros_like(tail))
+
+    def test_int16_flush(self):
+        mel = self._mel(2)
+        f = self._sv("gl", dict(gl_iters=4, overlap_frames=8))
+        q = self._sv(
+            "gl", dict(gl_iters=4, overlap_frames=8), emit_dtype="int16"
+        )
+        for c in range(2):
+            f.push(mel[c])
+            q.push(mel[c])
+        tf, tq = f.flush(), q.flush()
+        assert tq.dtype == np.int16
+        np.testing.assert_array_equal(
+            tq, np.round(np.clip(tf, -1.0, 1.0) * 32767.0).astype(np.int16)
+        )
+
+    def test_mel_context_flush_drains_withheld_frames(self):
+        """With mel_context the generator withholds the last ctx frames for
+        right-context; flush must complete them (silence-pad convention) —
+        an event in the LAST frames of the utterance must appear in the
+        assembled signal at its aligned position."""
+        ctx, la, chunks = 4, 1, 3
+        T = chunks * self.CH
+        mel = np.zeros((T, P.n_mels), np.float32)
+        ev = T - 3  # inside the withheld region of the final chunk
+        mel[ev:] = 0.9
+        sv = StreamingVocoder(
+            params=P, chunk_frames=self.CH, phase_engine="lws_online",
+            lws_look_ahead=la, lws_sweeps=1, mel_context=ctx,
+        )
+        outs = [
+            sv.push(mel[c * self.CH : (c + 1) * self.CH])
+            for c in range(chunks)
+        ]
+        tail = sv.flush()
+        assert sv.flush_samples == (
+            P.n_fft // 2 + (la + ctx) * P.hop_length
+        )
+        assert tail.shape == (sv.flush_samples,)
+        sig = np.concatenate(outs + [tail])[sv.flush_samples :]
+        assert sig.shape == (T * P.hop_length,)
+        hop = P.hop_length
+        e = np.array([
+            (sig[k * hop : (k + 1) * hop] ** 2).sum()
+            for k in range(T)
+        ])
+        peak = int(np.argmax(e))
+        assert peak >= ev - 1, (peak, ev)  # event present, aligned
+        assert e[: ev - 4].max() < 1e-3 * e.max()
+
+
 class TestStreamingWireFormats:
     """Narrow wire dtypes for tunneled serving (BASELINE multi-stream table):
     int16 emit must equal the float emit run through the save_as_wav PCM16
