@@ -27,12 +27,23 @@ def main(argv=None) -> None:
     p.add_argument("--out_dir", required=True)
     p.add_argument("--bundle", default=None, help="inference bundle dir")
     p.add_argument("--train_dir", default=None, help="ckpt dir (alternative)")
+    p.add_argument("--aot", default=None,
+                   help="serve from an AOT artifact dir (infer.export_vocoder"
+                        " output) — no model code, no trace; overrides "
+                        "--bundle/--train_dir")
+    p.add_argument("--aot_export", default=None,
+                   help="instead of vocoding, export the loaded model as AOT "
+                        "artifacts into this dir (shapes from --batch and "
+                        "each input's bucketed length)")
     p.add_argument("--model_size", choices=["full", "small"], default="full")
     p.add_argument("--model_overrides", default=None)
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--batch", type=int, default=8,
                    help="mels vocoded per device call")
     args = p.parse_args(argv)
+    if args.aot and args.aot_export:
+        p.error("--aot serves an existing artifact; it cannot be combined "
+                "with --aot_export (export from --bundle/--train_dir)")
 
     import jax.numpy as jnp
 
@@ -48,7 +59,9 @@ def main(argv=None) -> None:
     cfg = apply_overrides(cfg, args.model_overrides)
 
     g_apply = g_params = None
-    if args.bundle:
+    if args.aot:
+        pass  # no model code needed — the artifact is self-contained
+    elif args.bundle:
         from advoc_tpu.train.checkpoint import load_inference_bundle
 
         g = AdvocGenerator(cfg)
@@ -99,10 +112,25 @@ def main(argv=None) -> None:
 
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    voc = Vocoder(
-        g_apply=g_apply, g_params=g_params, params=P,
-        chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
-    )
+    if args.aot:
+        from advoc_tpu.infer.export import ExportedVocoder
+
+        voc = ExportedVocoder(args.aot)
+        print(f"[vocode] serving AOT artifacts {voc.shapes()} from "
+              f"{args.aot}", flush=True)
+    else:
+        voc = Vocoder(
+            g_apply=g_apply, g_params=g_params, params=P,
+            chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
+        )
+    if args.aot_export:
+        from advoc_tpu.infer.export import export_vocoder
+
+        shapes = sorted({(1, voc.bucket(m.shape[0])) for m in mels})
+        man = export_vocoder(voc, shapes, args.aot_export)
+        print(f"[vocode] exported {len(man['artifacts'])} artifact(s) "
+              f"{[tuple(s) for s in shapes]} → {args.aot_export}", flush=True)
+        return
 
     total_audio = 0.0
     t_start = None

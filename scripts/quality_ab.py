@@ -77,14 +77,23 @@ def main(argv=None) -> None:
         sample_rate=P.sample_rate, out_dtype=args.h2d_dtype,
     )
     rng = jax.random.PRNGKey(args.seed)
+    warm = min(100, args.steps // 2)  # steps before the steady-state clock
     t0 = time.perf_counter()
+    t_warm = None
     for i, batch in enumerate(it):
         if i >= args.steps:
             break
         rng, sub = jax.random.split(rng)
         gstate, dstate, metrics = step(gstate, dstate, jnp.asarray(batch), sub)
+        if i == warm - 1:  # compile + warmup done; start the steady clock
+            jax.block_until_ready(gstate.params)
+            t_warm = time.perf_counter()
     jax.block_until_ready(gstate.params)
     dt = time.perf_counter() - t0
+    steady = (
+        (args.steps - warm) / (time.perf_counter() - t_warm)
+        if t_warm is not None and args.steps > warm else float("nan")
+    )
 
     # Held-out eval: fixture seeds the training stream never saw.
     evs = []
@@ -97,6 +106,7 @@ def main(argv=None) -> None:
     print(
         f"RESULT overrides={args.overrides!r} steps={args.steps} "
         f"seed={args.seed} wire={args.h2d_dtype} time={dt:.0f}s "
+        f"steady_steps_per_s={steady:.2f} "
         + " ".join(f"{k}={v:.4f}" for k, v in sorted(agg.items())),
         flush=True,
     )

@@ -146,6 +146,27 @@ class TestVocodeCLI:
         ])
         assert len(list((tmp_path / "out").glob("*.wav"))) == 1
 
+    def test_aot_export_then_serve(self, tmp_path):
+        from advoc_tpu.infer import vocode_cli
+
+        mels = np.random.default_rng(2).uniform(0, 1, (64, 80)).astype(
+            np.float32
+        )
+        np.save(tmp_path / "m.npy", mels)
+        common = ["--input", str(tmp_path / "m.npy"),
+                  "--model_overrides", TINY, "--gl_iters", "1"]
+        vocode_cli.main(common + [
+            "--out_dir", str(tmp_path / "unused"),
+            "--aot_export", str(tmp_path / "aot"),
+        ])
+        assert (tmp_path / "aot" / "manifest.json").exists()
+        assert not list((tmp_path / "unused").glob("*.wav"))  # export only
+        vocode_cli.main(common + [
+            "--out_dir", str(tmp_path / "out"),
+            "--aot", str(tmp_path / "aot"),
+        ])
+        assert len(list((tmp_path / "out").glob("*.wav"))) == 1
+
 
 class TestStreamServeCLI:
     """scripts/stream_serve.py — the serving-loop demo/benchmark harness."""
