@@ -106,14 +106,22 @@ _MULAW_LN256 = float(np.log(256.0))
 def mulaw8_encode(x: np.ndarray) -> np.ndarray:
     """μ-law-compand a float waveform in [-1, 1] to int8 (μ = 255).
 
-    The quarter-byte training wire: ``y = sign(x)·log1p(255·|x|)/ln(256)``
-    quantized to 255 levels (±127; −128 unused so the code is symmetric).
-    NOT lossless — 8-bit μ-law carries ~38 dB SNR on speech-shaped signals
+    A quarter-byte wire: ``y = sign(x)·log1p(255·|x|)/ln(256)`` quantized
+    to 255 levels (±127; −128 unused so the code is symmetric). NOT
+    lossless — 8-bit μ-law carries ~38 dB SNR on speech-shaped signals
     (worst-case absolute error ~0.022 near full scale, relative error ~2%
     in the small-signal region the companding protects). The device-side
-    inverse is ``train.gan.as_waveform`` (int8 branch). Use when the
-    host→device wire, not quantization noise, limits training throughput;
-    quality-gate evidence in BASELINE.md.
+    inverse is ``train.gan.as_waveform`` (int8 branch).
+
+    **FAILED the advoc training-wire gate — do not train on it** (measured
+    3-seed A/B, BASELINE.md r4 "mulaw8 wire"): the −38 dB waveform noise
+    is inaudible-ish in sample space but the r9y9 pipeline regresses
+    *normalized-dB* targets, and log compression lifts the quantization
+    floor into every low-energy TF bin — the wire shifts the dB-domain
+    magnitude target by 0.38 L1 (mel input by 0.13; int16: 0.0002), so
+    the generator learns the lifted floor and evals at L1 ≈ 0.32 vs the
+    clean-wire 0.022 — worse than the raw heuristic. Kept for
+    waveform-domain links where sample SNR is the right criterion.
     """
     y = np.sign(x) * np.log1p(255.0 * np.minimum(np.abs(x), 1.0)) / _MULAW_LN256
     return np.clip(np.rint(y * 127.0), -127, 127).astype(np.int8)
@@ -149,9 +157,12 @@ def decode_extract_and_batch(
     the training bottleneck on slow interconnects (the axon tunnel moves
     ~23 MB/s: a 16×65536 f32 batch costs ~220 ms on the wire vs ~130 ms as
     int16 — BASELINE.md). "mulaw8" ships μ-law-companded int8 (quarter the
-    f32 bytes; lossy ~38 dB — see :func:`mulaw8_encode`; quality-gate
-    evidence in BASELINE.md). The jitted train steps normalize integer
-    wires back to float on device (``train.gan.as_waveform``).
+    f32 bytes; lossy ~38 dB) — it **failed the training quality gate**
+    (eval L1 0.32 vs 0.022, 3-seed A/B in BASELINE.md r4: log-domain
+    targets amplify the quantization floor ~20×; see
+    :func:`mulaw8_encode`) and is kept only for waveform-domain
+    experiments. The jitted train steps normalize integer wires back to
+    float on device (``train.gan.as_waveform``).
 
     Training mode (``repeat=True, shuffle=True``): infinite stream of random
     crops (random file, random offset). Eval mode (``repeat=False,

@@ -114,7 +114,9 @@ def as_waveform(batch: Array) -> Array:
     on slow interconnects) carry round(x·32768), the inverse of the wav
     decoder's /32768 — exact for PCM16 sources. int8 batches carry μ-law
     companded samples (``out_dtype="mulaw8"``, quarter the f32 bytes, ~38 dB
-    quantization SNR — see ``loader.mulaw8_encode``) and are expanded here.
+    quantization SNR) and are expanded here — but that wire FAILED the
+    training quality gate (log-domain targets amplify the μ-law floor;
+    eval L1 0.32 vs 0.022 — BASELINE.md r4 and ``loader.mulaw8_encode``).
     Float batches pass through. Called at the top of every jitted train/eval
     step so the conversion happens on device, after the cheap transfer.
     """

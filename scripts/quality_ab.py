@@ -86,8 +86,12 @@ def main(argv=None) -> None:
         rng, sub = jax.random.split(rng)
         gstate, dstate, metrics = step(gstate, dstate, jnp.asarray(batch), sub)
         if i == warm - 1:  # compile + warmup done; start the steady clock
-            jax.block_until_ready(gstate.params)
+            # Readback-synced, not block_until_ready: on the axon tunnel
+            # block_until_ready can return at dispatch, so a scalar
+            # readback is the only honest queue drain.
+            float(metrics["d_loss"])
             t_warm = time.perf_counter()
+    float(metrics["d_loss"])  # drain the dispatch queue before stopping
     jax.block_until_ready(gstate.params)
     dt = time.perf_counter() - t0
     steady = (
