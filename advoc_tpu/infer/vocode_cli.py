@@ -38,6 +38,11 @@ def main(argv=None) -> None:
     p.add_argument("--model_size", choices=["full", "small"], default="full")
     p.add_argument("--model_overrides", default=None)
     p.add_argument("--gl_iters", type=int, default=30)
+    p.add_argument("--mel_projection", type=float, default=None,
+                   help="post-repair mel-consistency projection strength. "
+                        "Default auto (1.0 with a model, 0.0 heuristic); "
+                        "pass 0 for the raw-repair parity contract — "
+                        "BASELINE.md r4 STOI section")
     p.add_argument("--batch", type=int, default=8,
                    help="mels vocoded per device call")
     args = p.parse_args(argv)
@@ -122,6 +127,7 @@ def main(argv=None) -> None:
         voc = Vocoder(
             g_apply=g_apply, g_params=g_params, params=P,
             chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
+            mel_projection=args.mel_projection,
         )
     if args.aot_export:
         from advoc_tpu.infer.export import export_vocoder

@@ -76,12 +76,27 @@ class Vocoder:
         mesh=None,
         phase_init: str = "zero",
         pghi_coef: float = 0.0,
+        mel_projection: float | None = None,
     ):
         self.g_apply = g_apply
         self.g_params = g_params
         self.params = params
         self.chunk = chunk_frames
         self.overlap = overlap_frames
+        # Post-repair mel-consistency projection strength (0 = raw repair,
+        # 1 = project the repaired magnitude fully back onto the
+        # conditioning mel's band envelopes — spectral.
+        # mel_consistency_project). None = auto: 1.0 when a generator is
+        # present, 0.0 for the heuristic pipeline (already mel-consistent
+        # by construction). Default ON per the measured gate at 10k corpus
+        # steps (BASELINE.md r4 STOI section): strength 1.0 beats BOTH the
+        # heuristic and the raw repair on STOI (0.892 vs 0.802 / 0.737)
+        # and audio spec-L1 (0.198 vs 0.208 / 0.305) at equal mel round-
+        # trip; pass 0.0 for the reference's raw-repair contract
+        # (SURVEY §3.4) in parity evals.
+        if mel_projection is None:
+            mel_projection = 1.0 if g_apply is not None else 0.0
+        self.mel_projection = float(mel_projection)
         # Optional ('data',) mesh: batches are sharded across chips and the
         # generator params replicated — data-parallel serving over ICI.
         self.mesh = mesh
@@ -189,6 +204,10 @@ class Vocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
+            if self.mel_projection > 0.0:
+                mag = spectral.mel_consistency_project(
+                    mag, mel, p, strength=self.mel_projection
+                )
             if self.phase_method == "lws_exact":
                 return spectral.lws(mag, length, n_sweeps=self.gl_iters, params=p)
             init = (
@@ -349,6 +368,7 @@ class StreamingVocoder:
         lws_init: str = "advance",
         mel_context: int = 0,
         mesh=None,
+        mel_projection: float | None = None,
     ):
         self.params = params
         self.chunk = chunk_frames
@@ -357,6 +377,13 @@ class StreamingVocoder:
         self.g_params = g_params
         self.gl_iters = gl_iters
         self.n_streams = n_streams
+        # Frame-local post-repair mel-consistency projection (same
+        # semantics, auto-default, and measured table as Vocoder's option;
+        # being per-frame it streams exactly — chunked output equals the
+        # offline projected pipeline).
+        if mel_projection is None:
+            mel_projection = 1.0 if g_apply is not None else 0.0
+        self.mel_projection = float(mel_projection)
         # Data-parallel serving: shard the stream axis over a ('data',)
         # mesh (advoc_tpu.parallel.data_mesh). Every carry is leading-dim
         # n_streams and all math is row-wise, so DP is pure annotation —
@@ -468,6 +495,11 @@ class StreamingVocoder:
                 if ctx:
                     mag = mag[:, ctx : ctx + self.chunk]
                     mel_ctx = mel_in[:, -2 * ctx :]
+                if self.mel_projection > 0.0:
+                    mag = spectral.mel_consistency_project(
+                        mag, mel.astype(jnp.float32), p,
+                        strength=self.mel_projection,
+                    )
                 if phase_engine == "lws_block":
                     (em_re, em_im), (s_re, s_im, mbuf) = (
                         spectral.lws_block_push(
@@ -537,6 +569,11 @@ class StreamingVocoder:
                     # Window = [2·ctx carried frames | silence]; the withheld
                     # real frames are positions ctx … 2·ctx−1.
                     mag_c = mag[:, ctx : 2 * ctx]
+                    if self.mel_projection > 0.0:
+                        mag_c = spectral.mel_consistency_project(
+                            mag_c, mel_in[:, ctx : 2 * ctx], p,
+                            strength=self.mel_projection,
+                        )
                     if phase_engine == "lws_block":
                         (em_re, em_im), (s_re, s_im, mbuf) = (
                             spectral.lws_block_push(
@@ -625,6 +662,11 @@ class StreamingVocoder:
             mag = spectral.db_to_amp(
                 spectral.denormalize_db(mag_norm, p) + p.ref_level_db
             )
+            if self.mel_projection > 0.0:
+                mag = spectral.mel_consistency_project(
+                    mag, mel.astype(jnp.float32), p,
+                    strength=self.mel_projection,
+                )
             # Phase recovery runs on [carried ov frames | new chunk], so the
             # G-L window overlaps the previous window by ov frames of REAL
             # time — the crossfade below blends two estimates of the same

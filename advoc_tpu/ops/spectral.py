@@ -337,6 +337,60 @@ def r9y9_melspec_to_magspec(mel: Array, params: AudioParams = DEFAULT_PARAMS) ->
     return jnp.maximum(jnp.matmul(amp, pinv_t, precision=_HIGHEST), 0.0)
 
 
+def mel_consistency_project(
+    mag: Array,
+    mel: Array,
+    params: AudioParams = DEFAULT_PARAMS,
+    strength: float = 1.0,
+    max_gain: float = 4.0,
+    n_iters: int = 1,
+) -> Array:
+    """Pull a magnitude spectrogram back onto the conditioning mel.
+
+    Per frame, per mel band: compute the amplitude-domain mel the magnitude
+    currently implies (``melfb @ mag``), the ratio to the conditioning mel's
+    amplitude, and apply that ratio to every linear-frequency bin as a
+    filterbank-weight-averaged gain. At ``strength=1`` the result's implied
+    mel ≈ the conditioning mel (approximate in one step because adjacent
+    triangular bands overlap; ``n_iters`` unrolls extra correction steps).
+    Bins the filterbank does not cover (below the fmin edge, above fmax, DC)
+    keep their value — the mel says nothing about them.
+
+    Why this exists: the heuristic pinv inversion is mel-consistent *by
+    construction*, so any envelope-family metric (STOI's one-third-octave
+    band correlations, re-extracted mel L1) scores it near-perfectly even
+    though its fine structure is far from the true magnitude. The trained
+    repair moves toward the true magnitude (normalized-dB L1 0.127 → 0.033
+    vs ground truth at 10k corpus steps) but its small *fluctuating* mel
+    residual decorrelates band envelopes — the entire r3/r4 "STOI
+    inversion" was this effect, dominated by the pitch-fundamental band
+    (BASELINE.md round-4 STOI section). This projection keeps the repair's
+    fine structure while restoring exact band envelopes: measured STOI
+    0.8917 vs 0.8024 (heuristic) vs 0.7371 (raw repair), with dB-L1 vs the
+    true magnitude 0.071 vs the heuristic's 0.127.
+
+    ``mel`` is the normalized r9y9 mel (the vocoder's input); ``mag`` any
+    nonnegative (..., T, n_freq) magnitude. Per-band ratios are clipped to
+    [1/max_gain, max_gain] so silent-band corrections cannot inject energy
+    spikes. Cheap: two (T,M)×(M,F) matmuls per iteration, fused into the
+    vocoder jit.
+    """
+    c = _consts(params)
+    fb_t = jnp.asarray(c["mel_fb_t"], dtype=jnp.float32)  # (F, M)
+    colsum = jnp.asarray(c["mel_fb_t"].sum(axis=1), dtype=jnp.float32)  # (F,)
+    covered = colsum > 1e-6
+    mel_amp = db_to_amp(denormalize_db(mel, params) + params.ref_level_db)
+    out = mag
+    for _ in range(n_iters):
+        implied = jnp.matmul(out, fb_t, precision=_HIGHEST)  # (..., T, M)
+        ratio = mel_amp / jnp.maximum(implied, 1e-8)
+        ratio = jnp.clip(ratio, 1.0 / max_gain, max_gain)
+        num = jnp.matmul(ratio, fb_t.T, precision=_HIGHEST)  # (..., T, F)
+        gain = jnp.where(covered, num / jnp.maximum(colsum, 1e-6), 1.0)
+        out = out * (1.0 + strength * (gain - 1.0))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Phase recovery: Griffin-Lim / fast-GL as a lax.scan (on-chip; replaces the
 # reference's host-side lws C extension + Python loop — SURVEY §2.3, §3.3).

@@ -59,7 +59,7 @@ def build_vocoder(args):
         overlap_frames=args.overlap_frames,
         lws_sweeps=args.lws_sweeps, lws_look_ahead=args.lws_look_ahead,
         mel_context=args.mel_context, emit_dtype=args.emit_dtype,
-        mel_dtype=args.mel_dtype,
+        mel_dtype=args.mel_dtype, mel_projection=args.mel_projection,
     )
 
 
@@ -87,6 +87,10 @@ def add_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lws_sweeps", type=int, default=None)
     p.add_argument("--lws_look_ahead", type=int, default=2)
     p.add_argument("--mel_context", type=int, default=0)
+    p.add_argument("--mel_projection", type=float, default=None,
+                   help="post-repair mel-consistency projection strength; "
+                        "default auto (1.0 with a model, 0.0 heuristic) — "
+                        "BASELINE.md r4 STOI section")
     p.add_argument("--emit_dtype", choices=["float32", "int16"],
                    default="int16")
     p.add_argument("--mel_dtype", choices=["float32", "float16"],

@@ -18,6 +18,12 @@ the candidate causes with data:
     generator that wins broadband L1 but decorrelates band trajectories
     would show exactly the observed pattern.
 
+Also scores the **mel-consistency projection** (``spectral.
+mel_consistency_project``, the shipped fix this diagnosis motivated —
+r4): the trained repair projected back onto the conditioning mel's band
+envelopes, which restores the quantity STOI scores while keeping the
+repair's fine structure.
+
 Reports per-variant STOI / mel-L1 / band-envelope-correlation means over
 held-out utterances (synthetic seeds the training stream never saw, or
 ``--files`` wavs), a per-band table for the worst bands, and ONE
@@ -87,23 +93,25 @@ def main(argv=None) -> None:
     length = T * P.hop_length
 
     def magnitudes(mel):
-        """(B, T, M) mel → (heuristic, trained) linear magnitudes."""
+        """(B, T, M) mel → (heuristic, trained, projected) magnitudes."""
         est = sp.r9y9_melspec_to_magspec(mel, P)
         est_norm = sp.normalize_db(sp.amp_to_db(est, P) - P.ref_level_db, P)
         rep = g.apply({"params": g_params}, est_norm)
         mag_g = sp.db_to_amp(sp.denormalize_db(rep, P) + P.ref_level_db)
-        return est, mag_g
+        proj = sp.mel_consistency_project(mag_g, mel, P)
+        return est, mag_g, proj
 
     @jax.jit
     def vocode_all(wav_ref):
-        """One utterance → dict of 4 vocoded variants + mels."""
+        """One utterance → dict of 6 vocoded variants + mels."""
         mel = sp.waveform_to_r9y9_melspec(wav_ref, P)[:T][None]
         spec_ref = sp.stft(wav_ref, P)[:T]
         # Oracle phase: the reference's own unit phase per bin.
         ph = spec_ref / jnp.maximum(jnp.abs(spec_ref), 1e-12)
-        est, mag_g = magnitudes(mel)
+        est, mag_g, proj = magnitudes(mel)
         out = {}
-        for name, mag in (("heuristic", est), ("trained", mag_g)):
+        for name, mag in (("heuristic", est), ("trained", mag_g),
+                          ("projected", proj)):
             out[name] = sp.griffin_lim(
                 mag, length, n_iters=args.gl_iters, momentum=0.99, params=P
             )[0]
@@ -125,8 +133,9 @@ def main(argv=None) -> None:
         src = f"{len(wavs)} held-out synthetic utterances"
     print(f"[stoi] scoring {src} ({T} frames each)", flush=True)
 
-    variants = ["heuristic", "trained", "heuristic_oracle_phase",
-                "trained_oracle_phase"]
+    variants = ["heuristic", "trained", "projected",
+                "heuristic_oracle_phase", "trained_oracle_phase",
+                "projected_oracle_phase"]
     acc = {v: {"stoi": [], "mel_l1": [], "band_l1": [], "env_corr": []}
            for v in variants}
     for w in wavs:

@@ -184,6 +184,116 @@ class TestR9y9Mel:
 
 
 # ---------------------------------------------------------------------------
+# Mel-consistency projection
+# ---------------------------------------------------------------------------
+
+
+class TestMelConsistencyProject:
+    def _mel_mag(self, wav):
+        mel = jnp.asarray(ref.waveform_to_r9y9_melspec(wav, P), jnp.float32)
+        return mel, sp.r9y9_melspec_to_magspec(mel, P)
+
+    def test_strength_zero_is_identity(self, wav):
+        mel, mag = self._mel_mag(wav)
+        out = sp.mel_consistency_project(mag, mel, P, strength=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(mag))
+
+    def test_near_noop_on_consistent_magnitude(self, wav):
+        # The pinv heuristic is mel-consistent by construction, so the
+        # projection's per-band ratios are ≈1 and the magnitude is barely
+        # touched.
+        mel, mag = self._mel_mag(wav)
+        out = np.asarray(sp.mel_consistency_project(mag, mel, P))
+        scale = float(np.asarray(mag).max())
+        diff = np.abs(out - np.asarray(mag))
+        # Mean movement ≈ 0; max bounded by band-edge overlap effects (the
+        # one-step gain is a weighted average over ≤2 overlapping bands).
+        assert diff.mean() < 2e-3 * scale
+        assert diff.max() < 0.06 * scale
+
+    def test_restores_consistency_of_perturbed_magnitude(self, wav):
+        # A magnitude with a fluctuating mel residual (the trained-repair
+        # failure mode, BASELINE.md r4 STOI section) projects back onto the
+        # conditioning mel: re-extracted mel L1 shrinks by a large factor.
+        mel, mag = self._mel_mag(wav)
+        rng = np.random.default_rng(1)
+        pert = mag * jnp.asarray(
+            1.0 + 0.35 * rng.standard_normal(mag.shape), jnp.float32
+        )
+        pert = jnp.maximum(pert, 0.0)
+        proj = sp.mel_consistency_project(pert, mel, P)
+        l1_before = float(
+            jnp.abs(sp.magspec_to_r9y9_melspec(pert, P) - mel).mean()
+        )
+        l1_after = float(
+            jnp.abs(sp.magspec_to_r9y9_melspec(proj, P) - mel).mean()
+        )
+        assert l1_after < l1_before / 2.0, (l1_before, l1_after)
+
+    def test_extra_iters_tighten_consistency(self, wav):
+        mel, mag = self._mel_mag(wav)
+        rng = np.random.default_rng(2)
+        pert = jnp.maximum(
+            mag
+            * jnp.asarray(
+                1.0 + 0.35 * rng.standard_normal(mag.shape), jnp.float32
+            ),
+            0.0,
+        )
+        l1 = [
+            float(
+                jnp.abs(
+                    sp.magspec_to_r9y9_melspec(
+                        sp.mel_consistency_project(pert, mel, P, n_iters=n), P
+                    )
+                    - mel
+                ).mean()
+            )
+            for n in (1, 2)
+        ]
+        assert l1[1] <= l1[0]
+
+    def test_uncovered_bins_untouched(self, wav):
+        # Bins the filterbank never weights (DC / below-fmin edge / above
+        # fmax) carry no mel information; the projection must leave them
+        # alone even when badly perturbed.
+        mel, mag = self._mel_mag(wav)
+        colsum = ref.create_mel_filterbank(P).sum(axis=0)
+        uncovered = np.where(colsum <= 1e-6)[0]
+        assert uncovered.size > 0
+        pert = np.asarray(mag).copy()
+        pert[..., uncovered] = 7.0
+        out = np.asarray(
+            sp.mel_consistency_project(jnp.asarray(pert), mel, P)
+        )
+        np.testing.assert_array_equal(out[..., uncovered], 7.0)
+
+    def test_gain_bounded(self, wav):
+        # Silent-band corrections are clipped: output ≤ mag·max_gain even
+        # when the implied mel is ~0 against a loud conditioning mel.
+        mel, mag = self._mel_mag(wav)
+        tiny = mag * 1e-6
+        out = np.asarray(
+            sp.mel_consistency_project(tiny, mel, P, max_gain=4.0)
+        )
+        # rtol covers f32 rounding in the weighted-average gain matmul.
+        bound = np.asarray(tiny) * 4.0 * (1.0 + 1e-5) + 1e-12
+        assert (out <= bound).all()
+
+    def test_jittable_and_batched(self, wav):
+        mel, mag = self._mel_mag(wav)
+        batched_mag = jnp.stack([mag, mag * 0.5])
+        batched_mel = jnp.stack([mel, mel])
+        f = jax.jit(lambda m, c: sp.mel_consistency_project(m, c, P))
+        out = f(batched_mag, batched_mel)
+        assert out.shape == batched_mag.shape
+        single = sp.mel_consistency_project(mag, mel, P)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(single), rtol=1e-5, atol=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
 # Phase recovery
 # ---------------------------------------------------------------------------
 
