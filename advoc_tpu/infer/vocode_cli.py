@@ -21,6 +21,10 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from advoc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True,
                    help=".npy mels, a wav file, or a directory of wavs")

@@ -301,6 +301,9 @@ def evaluate(args) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from advoc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     {"train": train, "eval": evaluate, "infer": infer}[args.mode](args)
 
 

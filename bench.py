@@ -24,9 +24,14 @@ import os
 import sys
 import time
 
-# Persistent compiled-program cache: repeat bench runs skip the multi-minute
-# remote compile on the axon tunnel.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# Persistent compiled-program cache: repeat bench runs skip the remote
+# compile on the axon tunnel. Must go through jax.config.update — jax is
+# pre-imported at interpreter startup here (axon plugin .pth), so the
+# env-var route is read too late (BASELINE.md r4 cold-start section).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from advoc_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 def log(msg: str) -> None:

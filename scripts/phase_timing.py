@@ -24,7 +24,13 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# Persistent compiled-program cache. NOTE: on this machine jax is pre-imported
+# at interpreter startup (axon plugin .pth), so JAX_COMPILATION_CACHE_DIR set
+# here via os.environ is read too late — enable_compilation_cache() goes
+# through jax.config.update, which works at any time (BASELINE.md r4).
+from advoc_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main(argv=None) -> None:

@@ -30,7 +30,13 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# NOTE: on this machine jax is pre-imported at interpreter startup (axon
+# plugin .pth), so setting JAX_COMPILATION_CACHE_DIR via os.environ here is
+# read too late — enable_compilation_cache() goes through jax.config.update,
+# which works at any time (BASELINE.md r4 cold-start section).
+from advoc_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def log(msg: str) -> None:

@@ -271,3 +271,48 @@ class TestStressEvalCLI:
             "--lws_look_ahead", "1", "--lws_sweeps", "1",
         ])
         assert "streaming lws_block" in out
+
+
+class TestCompilationCacheHelper:
+    """utils.enable_compilation_cache — the CLI cold-start hook (BASELINE r4).
+
+    jax is pre-imported at interpreter startup on the target machine, so the
+    helper must work through jax.config.update, not just the env var; and the
+    conftest relies on '' meaning "explicitly disabled"."""
+
+    def test_empty_env_means_disabled(self, monkeypatch):
+        from advoc_tpu.utils import enable_compilation_cache
+
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        assert enable_compilation_cache() is None
+
+    def test_existing_env_respected(self, monkeypatch):
+        import jax
+
+        from advoc_tpu.utils import enable_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/some_cache")
+        try:
+            assert enable_compilation_cache("/elsewhere") == "/tmp/some_cache"
+            # jax already imported → must go through jax.config too.
+            assert jax.config.jax_compilation_cache_dir == "/tmp/some_cache"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_default_when_unset(self, monkeypatch, tmp_path):
+        import os
+
+        import jax
+
+        from advoc_tpu.utils import enable_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        try:
+            got = enable_compilation_cache(str(tmp_path / "cache"))
+            assert got == str(tmp_path / "cache")
+            assert os.environ["JAX_COMPILATION_CACHE_DIR"] == got
+            assert jax.config.jax_compilation_cache_dir == got
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
