@@ -796,7 +796,7 @@ class StreamingVocoder:
             pc1.at[stream].set(1.0), ps1.at[stream].set(0.0),
         )
 
-    def push(self, mel_chunk, active=None) -> np.ndarray:
+    def push(self, mel_chunk, active=None, readback=True) -> np.ndarray:
         """Vocode one chunk per stream; returns exactly ``chunk_frames·hop``
         emitted waveform samples per stream (every engine). Chunks are
         consecutive, NON-overlapping mel frames — any engine-specific
@@ -816,7 +816,16 @@ class StreamingVocoder:
         their emit row is zeros — so skipping a stream for a tick then
         resuming is identical to never having included it in that push. The
         mask is a traced argument: any pattern reuses the one compiled
-        executable."""
+        executable.
+
+        ``readback=False`` returns the emit as a device array WITHOUT
+        waiting for the computation: JAX dispatch is asynchronous, so the
+        call returns as soon as the work is enqueued and the carry state
+        (also lazy device arrays) is safe to push against again
+        immediately. The caller materializes with ``np.asarray(out)``
+        when (and where) it wants to block — the serving loop uses this to
+        overlap tick N's host readback with tick N+1's dispatch/compute
+        (`serve/server.py`)."""
         # The uplink cast happens HOST-side so the tunnel carries the narrow
         # dtype; `run` widens back to f32 before any math.
         mel_chunk = np.asarray(mel_chunk, dtype=self.mel_dtype)
@@ -866,6 +875,8 @@ class StreamingVocoder:
             self._state_lws = (s_re, s_im, mb)
             self._state_ola = (ola, ws)
             self._state_mel = mel_ctx
+            if not readback:
+                return emit[0] if squeeze else emit
             out = np.asarray(emit)
             return out[0] if squeeze else out
         # Tail and phase carries initialize independently (tests ablate the
@@ -885,10 +896,12 @@ class StreamingVocoder:
         self._state_magtail = mag_tail
         self._state_wav = tail
         self._state_phase = (fc, fs, fc1, fs1)
+        if not readback:
+            return emit[0] if squeeze else emit
         out = np.asarray(emit)
         return out[0] if squeeze else out
 
-    def flush(self, active=None) -> np.ndarray:
+    def flush(self, active=None, readback=True) -> np.ndarray:
         """End-of-utterance drain: emit each active stream's pending audio
         and reset those streams for a new utterance.
 
@@ -911,6 +924,7 @@ class StreamingVocoder:
         behave exactly like freshly :meth:`reset` ones afterwards. Shape
         convention matches :meth:`push`: (flush_samples,) when
         ``n_streams == 1``, else (n_streams, flush_samples).
+        ``readback=False`` as in :meth:`push`.
         """
         if active is None:
             active = np.ones(self.n_streams, bool)
@@ -959,5 +973,7 @@ class StreamingVocoder:
             self._state_magtail = mag_tail
             self._state_wav = tail
             self._state_phase = (fc, fs, fc1, fs1)
+        if not readback:
+            return emit[0] if self.n_streams == 1 else emit
         out = np.asarray(emit)
         return out[0] if self.n_streams == 1 else out

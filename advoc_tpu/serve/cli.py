@@ -71,6 +71,9 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    help="concurrent streams = StreamingVocoder batch rows")
     p.add_argument("--coalesce_ms", type=float, default=0.0,
                    help="wait this long per tick for more clients' chunks")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="max ticks in flight (1 = serial readback; 2 "
+                        "overlaps readback with the next tick's compute)")
     p.add_argument("--bundle", default=None, help="inference bundle dir")
     p.add_argument("--train_dir", default=None,
                    help="trained ckpt dir; omit both for heuristic pipeline")
@@ -232,6 +235,10 @@ def main(argv=None) -> None:
     add_args(p)
     args = p.parse_args(argv)
 
+    from advoc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warmup below replays precompile.py's cache
+
     import numpy as np
 
     from advoc_tpu.serve.server import start_in_thread
@@ -249,7 +256,8 @@ def main(argv=None) -> None:
     print(f"warmup compile: {time.perf_counter() - t0:.1f} s", flush=True)
 
     handle = start_in_thread(
-        sv, host=args.host, port=args.port, coalesce_ms=args.coalesce_ms
+        sv, host=args.host, port=args.port, coalesce_ms=args.coalesce_ms,
+        pipeline_depth=args.pipeline_depth,
     )
     host, port = handle.address
     print(f"serving {args.n_slots} slots on {host}:{port} "

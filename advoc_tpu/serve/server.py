@@ -11,6 +11,23 @@ masked rows keep their carry bit-exactly — ``infer/vocoder.py``), and each
 client gets back only its own row. All device access is serialized through
 one executor thread; connection handling stays on the asyncio loop.
 
+Ticks are **pipelined** (dispatch and readback decoupled): JAX dispatch is
+asynchronous, so the device thread enqueues tick N's work and returns its
+lazy device arrays immediately (``push(..., readback=False)``); a second
+single-thread stage materializes them with ``np.asarray`` and resolves the
+clients' futures, in tick order. While tick N's samples stream back to the
+host, the batch loop is already collecting and dispatching tick N+1 — on a
+high-dispatch-latency link (the axon tunnel) per-tick wall drops from
+dispatch+compute+readback to ~max of the three. Depth is BOUNDED
+(``pipeline_depth``, default 2): every in-flight tick costs the full
+fixed-shape batch compute no matter how few rows are active, so an
+unbounded loop degenerates into one-stream ticks and does n_slots× the
+device work (measured: aggregate 17.4×→5.1× RT — BASELINE.md r4); the
+semaphore makes a full pipeline behave exactly like the old
+readback-backpressure loop, requests piling into the next tick's batch.
+Per-slot ordering is unaffected: each connection has at most one
+outstanding request, and the readback stage is FIFO.
+
 The reference has no serving layer (its inference is a batch CLI,
 SURVEY §2.1 #10) — this subsystem is beyond-reference (PARITY.md).
 """
@@ -56,6 +73,11 @@ class VocoderServer:
     latency knob (0 = push immediately, each tick carries whatever is
     already queued; concurrent clients still coalesce naturally while a
     previous tick's device call is in flight).
+
+    ``pipeline_depth``: max ticks in flight (dispatched, not yet read
+    back). 1 = the serial dispatch→compute→readback loop; 2 (default)
+    overlaps one tick's readback with the next tick's compute. See the
+    module docstring for why this must stay small.
     """
 
     def __init__(
@@ -64,10 +86,13 @@ class VocoderServer:
         host: str = "127.0.0.1",
         port: int = 0,
         coalesce_ms: float = 0.0,
+        pipeline_depth: int = 2,
     ):
         self.sv = sv
         self.host, self.port = host, port
         self.coalesce_ms = coalesce_ms
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._tick_slots: asyncio.Semaphore | None = None  # made on the loop
         self.stats = ServerStats()
         self._free: list[int] = list(range(sv.n_streams))[::-1]
         self._writers: set[asyncio.StreamWriter] = set()
@@ -76,6 +101,15 @@ class VocoderServer:
         self._batch_task: asyncio.Task | None = None
         # One worker: all sv (device) access happens on this thread.
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # Second pipeline stage: np.asarray of already-dispatched device
+        # arrays (reads only; never touches sv state). Single worker → FIFO
+        # → ticks resolve in dispatch order.
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1
+        )
+        # task → that tick's (batch, flushes): stop() needs the requests
+        # even if it cancels a task before the task body ever ran.
+        self._readbacks: dict[asyncio.Task, tuple[dict, dict]] = {}
         p = sv.params
         emit = sv.chunk * p.hop_length  # uniform across engines
         self._config = {
@@ -124,6 +158,20 @@ class VocoderServer:
                 await self._batch_task
             except asyncio.CancelledError:
                 pass
+        # In-flight readbacks: cancel the tasks AND their ticks' client
+        # futures (a task cancelled before its body ever ran can't do the
+        # latter itself), so parked handlers unblock.
+        inflight = list(self._readbacks.items())
+        for t, _ in inflight:
+            t.cancel()
+        if inflight:
+            await asyncio.gather(
+                *(t for t, _ in inflight), return_exceptions=True
+            )
+        for _, (b, f) in inflight:
+            for req in list(b.values()) + list(f.values()):
+                if not req.fut.done():
+                    req.fut.cancel()
         while not self._queue.empty():
             req = self._queue.get_nowait()
             if req.fut is not None and not req.fut.done():
@@ -133,6 +181,7 @@ class VocoderServer:
         if self._server is not None:
             await self._server.wait_closed()
         self._pool.shutdown(wait=True)
+        self._fetch_pool.shutdown(wait=True)
 
     # --- batching core -------------------------------------------------
     async def _batch_loop(self) -> None:
@@ -140,6 +189,7 @@ class VocoderServer:
         sv = self.sv
         n, ch = sv.n_streams, sv.chunk
         mel_dt = np.dtype(sv.mel_dtype)
+        self._tick_slots = asyncio.Semaphore(self.pipeline_depth)
         while True:
             batch: dict[int, _Request] = {}
             flushes: dict[int, _Request] = {}
@@ -178,7 +228,24 @@ class VocoderServer:
                         req.fut.cancel()
                 raise
 
-            def device_tick():
+            # Backpressure: wait for a pipeline slot, then let anything
+            # that queued up meanwhile join THIS tick's batch — this is
+            # what keeps ticks full when the device is the bottleneck.
+            try:
+                await self._tick_slots.acquire()
+            except asyncio.CancelledError:
+                for req in waiting():
+                    if not req.fut.done():
+                        req.fut.cancel()
+                raise
+            while not self._queue.empty():
+                take(self._queue.get_nowait())
+
+            def device_dispatch():
+                # Stage 1: enqueue the tick's device work; returns lazy
+                # device arrays without waiting (readback=False). sv carry
+                # state is updated (lazily) here, so the next tick can
+                # dispatch against it immediately.
                 for s in resets:
                     sv.reset(stream=s)
                 emit_push = emit_flush = None
@@ -187,24 +254,26 @@ class VocoderServer:
                     active = np.zeros(n, bool)
                     for s, req in batch.items():
                         mels[s], active[s] = req.mel, True
-                    emit_push = sv.push(mels, active=active)
+                    emit_push = sv.push(mels, active=active, readback=False)
                 if flushes:
                     fmask = np.zeros(n, bool)
                     for s in flushes:
                         fmask[s] = True
-                    emit_flush = np.atleast_2d(sv.flush(active=fmask))
+                    emit_flush = sv.flush(active=fmask, readback=False)
                 return emit_push, emit_flush
 
             try:
-                emit, emit_f = await loop.run_in_executor(
-                    self._pool, device_tick
+                emit_d, emit_f_d = await loop.run_in_executor(
+                    self._pool, device_dispatch
                 )
             except asyncio.CancelledError:  # server stopping mid-tick
+                self._tick_slots.release()
                 for req in waiting():
                     if not req.fut.done():
                         req.fut.cancel()
                 raise
             except Exception as e:  # propagate to the waiting clients
+                self._tick_slots.release()
                 for req in waiting():
                     if not req.fut.done():
                         req.fut.set_exception(
@@ -215,12 +284,58 @@ class VocoderServer:
                 self.stats.ticks += 1
                 self.stats.pushes += len(batch)
                 self.stats.flushes += len(flushes)
-            for s, req in batch.items():
+                # Stage 2, NOT awaited here: the loop goes straight back to
+                # collecting the next tick while this tick's samples
+                # materialize on the fetch thread. The readback releases
+                # the pipeline slot when it resolves.
+                t = loop.create_task(
+                    self._readback(emit_d, emit_f_d, batch, flushes)
+                )
+                self._readbacks[t] = (batch, flushes)
+                t.add_done_callback(
+                    lambda t: self._readbacks.pop(t, None)
+                )
+            else:  # reset/free-only tick: nothing to read back
+                self._tick_slots.release()
+
+    async def _readback(self, emit_d, emit_f_d, batch, flushes) -> None:
+        """Pipeline stage 2: block on one tick's device arrays (FIFO fetch
+        thread), then resolve that tick's client futures."""
+        loop = asyncio.get_running_loop()
+
+        def fetch():
+            emit = None if emit_d is None else np.asarray(emit_d)
+            emit_f = (
+                None if emit_f_d is None
+                else np.atleast_2d(np.asarray(emit_f_d))
+            )
+            return emit, emit_f
+
+        def all_reqs():
+            return list(batch.values()) + list(flushes.values())
+
+        try:
+            emit, emit_f = await loop.run_in_executor(self._fetch_pool, fetch)
+        except asyncio.CancelledError:  # server stopping mid-readback
+            for req in all_reqs():
                 if not req.fut.done():
-                    req.fut.set_result(np.ascontiguousarray(emit[s]))
-            for s, req in flushes.items():
+                    req.fut.cancel()
+            raise
+        except Exception as e:  # device failure surfaces at materialization
+            for req in all_reqs():
                 if not req.fut.done():
-                    req.fut.set_result(np.ascontiguousarray(emit_f[s]))
+                    req.fut.set_exception(
+                        RuntimeError(f"vocode failed: {e!r}")
+                    )
+            return
+        finally:
+            self._tick_slots.release()
+        for s, req in batch.items():
+            if not req.fut.done():
+                req.fut.set_result(np.ascontiguousarray(emit[s]))
+        for s, req in flushes.items():
+            if not req.fut.done():
+                req.fut.set_result(np.ascontiguousarray(emit_f[s]))
 
     # --- per-connection handler -----------------------------------------
     async def _handle(

@@ -193,11 +193,11 @@ class TestVocodeServer:
         real_push = sv.push
         calls = {"n": 0}
 
-        def flaky_push(mels, active=None):
+        def flaky_push(mels, active=None, **kw):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected device failure")
-            return real_push(mels, active=active)
+            return real_push(mels, active=active, **kw)
 
         sv.push = flaky_push
         handle = start_in_thread(sv)
@@ -208,6 +208,42 @@ class TestVocodeServer:
                 with pytest.raises(RuntimeError, match="injected"):
                     c.vocode(mels[0])
             # The failed tick didn't kill the batch loop.
+            with VocodeClient(host, port) as c:
+                out = c.vocode(mels[0])
+                assert out.shape == (c.config["emit_samples"],)
+        finally:
+            handle.stop()
+
+    def test_device_failure_at_readback_propagates(self):
+        """With pipelined ticks, real device failures surface at
+        materialization (np.asarray on the fetch thread), not dispatch —
+        that path must also reach the client as an ERR frame and leave the
+        server serving."""
+        sv = make_sv(2)
+        real_push = sv.push
+        calls = {"n": 0}
+
+        class _PoisonEmit:
+            shape = (2, 1)
+
+            def __array__(self, *a, **k):
+                raise RuntimeError("injected readback failure")
+
+        def flaky_push(mels, active=None, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                real_push(mels, active=active, **kw)  # keep carry honest
+                return _PoisonEmit()
+            return real_push(mels, active=active, **kw)
+
+        sv.push = flaky_push
+        handle = start_in_thread(sv)
+        try:
+            host, port = handle.address
+            mels = mel_chunks(1)
+            with VocodeClient(host, port) as c:
+                with pytest.raises(RuntimeError, match="injected readback"):
+                    c.vocode(mels[0])
             with VocodeClient(host, port) as c:
                 out = c.vocode(mels[0])
                 assert out.shape == (c.config["emit_samples"],)
