@@ -58,7 +58,11 @@ def main() -> None:
     est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
     gparams = g.init(rng, est0)["params"]
 
-    B = 64  # 64 chunks × 256 frames × 256 hop / 22050 Hz ≈ 190 s of audio
+    # 128 chunks × 256 frames × 256 hop / 22050 Hz ≈ 380 s of audio.
+    # Batch sweep (r4): per-audio-second device cost keeps improving past
+    # B=64 (0.36 → 0.29 → 0.26 ms/s at B=64/96/128 single-call) because the
+    # fixed dispatch floor amortizes; B=128 is comfortably inside HBM.
+    B = 128
     GL_ITERS = 30
 
     # Phase recovery: the VMEM-resident Pallas G-L kernel when a TPU backend
@@ -79,6 +83,10 @@ def main() -> None:
         mag = spectral.db_to_amp(
             spectral.denormalize_db(repaired, P) + P.ref_level_db
         )
+        # Shipped default for trained vocoders (BASELINE.md r4 STOI
+        # section): the bench graph mirrors the production path. Cost is
+        # two fused matmuls — within timing noise at every B measured.
+        mag = spectral.mel_consistency_project(mag, mel, P)
         return spectral.griffin_lim(
             mag, cfg.n_frames * P.hop_length, n_iters=GL_ITERS,
             momentum=0.99, params=P, precision=gl_precision,
