@@ -243,17 +243,33 @@ def main(argv=None) -> None:
 
     from advoc_tpu.serve.server import start_in_thread
 
-    sv = build_vocoder(args)
-    # Compile + warm the executable before accepting traffic (first jit
+    # Compile + warm the executables before accepting traffic (first jit
     # over a tunnel is seconds-to-minutes; clients shouldn't eat that).
+    # The breakdown is printed because warm-start time on the shared
+    # tunnel varies wildly run-to-run with an identical local cache
+    # (9 s–388 s observed, BASELINE.md r4) — knowing which stage paid it
+    # (device/client init vs push vs flush) is the first diagnostic.
+    import jax
+
+    t0 = time.perf_counter()
+    jax.devices()
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sv = build_vocoder(args)
+    t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
     sv.push(
         np.zeros((args.n_slots, args.chunk_frames, sv.params.n_mels)),
         active=np.zeros(args.n_slots, bool),
     )
+    t_push = time.perf_counter() - t0
+    t0 = time.perf_counter()
     sv.flush(active=np.zeros(args.n_slots, bool))
     sv.reset()
-    print(f"warmup compile: {time.perf_counter() - t0:.1f} s", flush=True)
+    t_flush = time.perf_counter() - t0
+    print(f"warmup compile: {t_push + t_flush:.1f} s "
+          f"(devices {t_dev:.1f} + build {t_build:.1f} + push {t_push:.1f}"
+          f" + flush {t_flush:.1f})", flush=True)
 
     handle = start_in_thread(
         sv, host=args.host, port=args.port, coalesce_ms=args.coalesce_ms,
