@@ -143,19 +143,81 @@ def main(argv=None) -> None:
         return
 
     total_audio = 0.0
+    hop = P.hop_length
+
+    if args.aot or args.batch <= 1 or len(mels) == 1:
+        # Per-file loop (AOT artifacts are typically exported at batch 1).
+        t_start = None
+        t_audio0 = 0.0
+        for mel, name in zip(mels, names):
+            wav = np.asarray(voc(jnp.asarray(mel)))
+            if t_start is None:
+                t_start = time.perf_counter()  # exclude first-call compile
+                t_audio0 = len(wav) / P.sample_rate
+            total_audio += len(wav) / P.sample_rate
+            audioio.save_as_wav(wav, out_dir / f"{name}.wav", P.sample_rate)
+            print(f"[vocode] {name}.wav ({len(wav)} samples)", flush=True)
+        if t_start is not None and len(mels) > 1:
+            dt = time.perf_counter() - t_start
+            done = total_audio - t_audio0
+            print(f"[vocode] {done:.1f}s audio in {dt:.2f}s after warmup "
+                  f"→ {done/dt:.0f}× realtime", flush=True)
+        return
+
+    # --batch > 1: real batched serving. Group mels by their bucketed
+    # length (same bucket → same compiled shape), pad every group to
+    # exactly --batch rows so each length bucket compiles ONE executable,
+    # and materialize group k while group k+1 is already dispatched
+    # (Vocoder.__call__ returns lazy device arrays — batch rows are
+    # mathematically independent, so padded rows change nothing).
+    order = sorted(range(len(mels)), key=lambda i: voc.bucket(mels[i].shape[0]))
+    groups: list[list[int]] = []
+    for i in order:
+        tb = voc.bucket(mels[i].shape[0])
+        if (groups and len(groups[-1]) < args.batch
+                and voc.bucket(mels[groups[-1][0]].shape[0]) == tb):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+
+    def dispatch(idx):
+        tb = voc.bucket(max(mels[i].shape[0] for i in idx))
+        mb = np.zeros((args.batch, tb, P.n_mels), np.float32)
+        for r, i in enumerate(idx):
+            mb[r, : mels[i].shape[0]] = mels[i]
+        return voc(jnp.asarray(mb))  # lazy (--batch, tb*hop)
+
+    def write(idx, out):
+        nonlocal total_audio
+        arr = np.asarray(out)  # blocks; the NEXT group is already running
+        for r, i in enumerate(idx):
+            n = mels[i].shape[0] * hop
+            total_audio += n / P.sample_rate
+            audioio.save_as_wav(
+                arr[r, :n], out_dir / f"{names[i]}.wav", P.sample_rate
+            )
+            print(f"[vocode] {names[i]}.wav ({n} samples)", flush=True)
+
     t_start = None
-    for i, (mel, name) in enumerate(zip(mels, names)):
-        wav = np.asarray(voc(jnp.asarray(mel)))
-        if t_start is None:
-            t_start = time.perf_counter()  # exclude first-call compile
-            t_audio0 = len(wav) / P.sample_rate
-        total_audio += len(wav) / P.sample_rate
-        audioio.save_as_wav(wav, out_dir / f"{name}.wav", P.sample_rate)
-        print(f"[vocode] {name}.wav ({len(wav)} samples)", flush=True)
-    if t_start is not None and len(mels) > 1:
+    audio_warm = 0.0
+    pending = None
+    for k, idx in enumerate(groups):
+        out = dispatch(idx)
+        if k == 0:
+            write(idx, out)  # absorbs the compile; then start the clock
+            audio_warm = total_audio
+            t_start = time.perf_counter()
+            continue
+        if pending is not None:
+            write(*pending)
+        pending = (idx, out)
+    if pending is not None:
+        write(*pending)
+    if len(groups) > 1:
         dt = time.perf_counter() - t_start
-        done = total_audio - t_audio0
+        done = total_audio - audio_warm
         print(f"[vocode] {done:.1f}s audio in {dt:.2f}s after warmup "
+              f"({len(groups) - 1} batched calls of {args.batch}) "
               f"→ {done/dt:.0f}× realtime", flush=True)
 
 

@@ -146,6 +146,50 @@ class TestVocodeCLI:
         ])
         assert len(list((tmp_path / "out").glob("*.wav"))) == 1
 
+    def test_batched_matches_per_file(self, tmp_path):
+        """--batch groups mels into padded fixed-shape device calls; batch
+        rows are mathematically independent, so the grouped path's wavs
+        must match --batch 1's per-file wavs."""
+        from advoc_tpu.data import audioio
+        from advoc_tpu.infer import Vocoder, vocode_cli
+        from advoc_tpu.ops.reference import DEFAULT_PARAMS as P
+
+        rng = np.random.default_rng(2)
+        # Library invariant first: padded batched call ≡ solo calls,
+        # including a shorter-than-bucket row cropped correctly.
+        mels = [rng.uniform(0, 1, (t, 80)).astype(np.float32)
+                for t in (60, 64, 50)]
+        voc = Vocoder(params=P, chunk_frames=64, gl_iters=1)
+        solo = [np.asarray(voc(m)) for m in mels]
+        mb = np.zeros((4, 64, 80), np.float32)  # one padded row too
+        for r, m in enumerate(mels):
+            mb[r, : len(m)] = m
+        grouped = np.asarray(voc(mb))
+        for r, m in enumerate(mels):
+            np.testing.assert_allclose(
+                grouped[r, : len(m) * P.hop_length], solo[r],
+                rtol=0, atol=1e-5,
+            )
+
+        # CLI grouped path: a (3, 64, 80) npy at --batch 2 → two padded
+        # device calls (2 + 1-padded-to-2); wavs must match --batch 1.
+        arr = np.stack([np.pad(m, ((0, 64 - len(m)), (0, 0)))
+                        for m in mels])
+        np.save(tmp_path / "m.npy", arr)
+        for mode, batch in (("solo", "1"), ("grouped", "2")):
+            vocode_cli.main([
+                "--input", str(tmp_path / "m.npy"),
+                "--out_dir", str(tmp_path / mode),
+                "--model_overrides", TINY, "--gl_iters", "1",
+                "--batch", batch,
+            ])
+        for i in range(3):
+            a = audioio.decode_audio(tmp_path / "solo" / f"m_{i}.wav",
+                                     P.sample_rate)
+            b = audioio.decode_audio(tmp_path / "grouped" / f"m_{i}.wav",
+                                     P.sample_rate)
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
     def test_aot_export_then_serve(self, tmp_path):
         from advoc_tpu.infer import vocode_cli
 
