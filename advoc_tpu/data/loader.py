@@ -280,6 +280,124 @@ def decode_extract_and_batch(
     return iterate()
 
 
+class DeviceCorpus:
+    """HBM-resident training corpus: random crops sampled ON DEVICE.
+
+    With the device step at ~28 ms, CLI training on slow interconnects is
+    bound by the host→device batch wire (20.4 steps/s vs the ~35 the device
+    allows — BASELINE.md r4 wire table). When the corpus fits in HBM (the
+    13k-file LJSpeech-scale rehearsal is ≈2.6 GB as int16 vs 16 GB), staging
+    it once removes the wire from the steady-state loop entirely: the host
+    ships only a (B,) int32 vector of crop start positions per step (64
+    bytes at B=16) and the jitted train step gathers the int16 crops from
+    the staged buffer (`gather` below, fused into the step).
+
+    **Bit-identical to the int16 wire at matched seed:** `starts()` draws
+    (file, offset) with the exact numpy-RNG call sequence of
+    :func:`decode_extract_and_batch`'s training mode (uniform file, uniform
+    offset — SURVEY §2.1 #5 contract), and the staged buffer holds the same
+    round(x·32768) samples the wire loader ships, so the gathered batch
+    equals the wire batch exactly (asserted in tests/test_data.py). Files
+    shorter than ``slice_len`` are zero-padded at stage time, matching the
+    wire decoder's tail padding.
+
+    ``sharding``: optional fully-replicated NamedSharding for DP meshes
+    (each device holds the whole corpus; gather indices arrive sharded on
+    'data' so every device gathers only its rows). Single-process only —
+    multi-host training should keep the per-host wire loader.
+    """
+
+    def __init__(self, fps: Sequence[str], slice_len: int,
+                 sample_rate: int | None = None, sharding=None):
+        import jax
+        import jax.numpy as jnp
+
+        fps = list(map(str, fps))
+        if not fps:
+            raise ValueError("empty file list")
+        meta = [audioio.wav_num_frames(fp) for fp in fps]
+        if sample_rate is not None:
+            bad = [(fp, sr) for fp, (_, sr) in zip(fps, meta)
+                   if sr != sample_rate]
+            if bad:
+                raise ValueError(
+                    f"{len(bad)} file(s) not at {sample_rate} Hz "
+                    f"(e.g. {bad[0][0]}: {bad[0][1]} Hz); resample first"
+                )
+        self.slice_len = int(slice_len)
+        self.n_files = len(fps)
+        self._lens = np.array([n for n, _ in meta], np.int64)
+
+        chunks, offsets = [], []
+        pos = 0
+        for fp, (n, _) in zip(fps, meta):
+            x = audioio.decode_audio(fp)
+            # Same samples the int16 wire ships: round(x·32768) — the exact
+            # inverse of the decoder's /32768, lossless for PCM16 sources.
+            xi = np.clip(np.rint(np.asarray(x) * 32768.0),
+                         -32768, 32767).astype(np.int16)
+            if len(xi) < slice_len:  # wire decoder zero-pads short reads
+                xi = np.pad(xi, (0, slice_len - len(xi)))
+            offsets.append(pos)
+            chunks.append(xi)
+            pos += len(xi)
+        flat = np.concatenate(chunks)
+        self.nbytes = flat.nbytes
+        self._offsets = np.array(offsets, np.int64)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self._samples = put(jnp.asarray(flat))
+
+    def starts(self, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
+        """Infinite (B,) int32 flat-start batches — the 64-byte wire.
+
+        Mirrors decode_extract_and_batch's training-mode RNG call sequence
+        exactly (same seed ⇒ same crops as the wire loader)."""
+        rng = np.random.default_rng(seed)
+        lens, offs, sl = self._lens, self._offsets, self.slice_len
+        while True:
+            out = np.empty(batch_size, np.int32)
+            for b in range(batch_size):
+                i = int(rng.integers(self.n_files))
+                start = int(rng.integers(max(1, lens[i] - sl + 1)))
+                out[b] = offs[i] + start
+            yield out
+
+    def gather(self, starts):
+        """(B,) int32 flat starts → (B, slice_len) int16 crops. Pure JAX —
+        call inside the jitted train step so the crop gather fuses with
+        featurization and the batch never exists on the host."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                self._samples, (s,), (self.slice_len,)
+            )
+        )(jnp.asarray(starts))
+
+
+def hbm_data_step(step_fn, corpus: "DeviceCorpus", mesh=None):
+    """Wrap a (gstate, dstate, batch, rng) step to take crop starts instead.
+
+    The wrapped step gathers the batch from the HBM-resident corpus inside
+    the same jit region; with a mesh, the gathered batch is constrained to
+    'data' sharding so DP partitioning is identical to the wire path."""
+    import jax
+
+    def step(gstate, dstate, starts, rng):
+        batch = corpus.gather(starts)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, PartitionSpec("data"))
+            )
+        return step_fn(gstate, dstate, batch, rng)
+
+    return step
+
+
 def device_prefetch(it: Iterator[np.ndarray], sharding=None, depth: int = 2):
     """Move host batches onto device(s) ``depth`` steps ahead of consumption.
 

@@ -56,6 +56,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wire dtype for train batches; int16 halves "
                         "host-to-device bytes (lossless for PCM16 sources) "
                         "and the step normalizes on device")
+    p.add_argument("--data_placement", choices=["auto", "hbm", "wire"],
+                   default="auto",
+                   help="'hbm' stages the whole corpus in device memory as "
+                        "int16 and samples random crops on device (the host "
+                        "ships 4 bytes/clip/step of crop indices — removes "
+                        "the batch wire from the steady-state loop; batches "
+                        "bit-identical to the int16 wire at matched seed). "
+                        "'auto' picks hbm when the corpus fits --hbm_budget_mb"
+                        " in a single-process run, else the streaming wire")
+    p.add_argument("--hbm_budget_mb", type=int, default=8192,
+                   help="max corpus bytes to stage on device in "
+                        "--data_placement auto/hbm (16 GB HBM minus model/"
+                        "optimizer/activation headroom)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN at its "
                         "producing op; slow — debugging only)")
@@ -108,17 +121,55 @@ def train(args) -> None:
 
     step = gan.make_advoc_train_step(g, d, cfg, DEFAULT_PARAMS)
     mesh = data_mesh(args.n_devices)
-    dp_step = gan.jit_data_parallel(step, mesh)
 
     fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
     slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
-    it = loader.decode_extract_and_batch(
-        fps, batch_size=args.batch_size, slice_len=slice_len, seed=args.seed,
-        sample_rate=DEFAULT_PARAMS.sample_rate, out_dtype=args.h2d_dtype,
-    )
-    # Host decode + H2D transfer overlap device compute (double-buffered).
+
+    # Placement: HBM-resident corpus (on-device crop sampling; the batch
+    # wire collapses to 4 bytes/clip of start indices) vs the streaming
+    # host wire. auto = hbm when it fits the budget (BASELINE.md r5).
+    from advoc_tpu.data.audioio import wav_num_frames
+
+    placement = args.data_placement
+    if placement != "wire":
+        est_bytes = sum(
+            max(wav_num_frames(fp)[0], slice_len) * 2 for fp in fps
+        )
+        fits = (est_bytes <= args.hbm_budget_mb * 2**20
+                and jax.process_count() == 1)
+        if placement == "hbm" and not fits:
+            raise ValueError(
+                f"--data_placement hbm: corpus is {est_bytes/2**20:.0f} MB "
+                f"(budget {args.hbm_budget_mb} MB) or run is multi-host; "
+                f"use wire or raise --hbm_budget_mb"
+            )
+        placement = "hbm" if fits else "wire"
+        if args.data_placement == "auto":
+            why = ("fits" if fits else
+                   f"{est_bytes/2**20:.0f} MB > {args.hbm_budget_mb} MB "
+                   "budget or multi-host")
+            print(f"[train] data_placement auto → {placement} ({why})",
+                  flush=True)
+
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
+    if placement == "hbm":
+        corpus = loader.DeviceCorpus(
+            fps, slice_len, sample_rate=DEFAULT_PARAMS.sample_rate,
+            sharding=NamedSharding(mesh, Pspec()),  # replicated
+        )
+        print(f"[train] corpus staged in HBM: {len(fps)} files, "
+              f"{corpus.nbytes/2**20:.0f} MB int16", flush=True)
+        step = loader.hbm_data_step(step, corpus, mesh)
+        it = corpus.starts(args.batch_size, seed=args.seed)
+    else:
+        it = loader.decode_extract_and_batch(
+            fps, batch_size=args.batch_size, slice_len=slice_len,
+            seed=args.seed, sample_rate=DEFAULT_PARAMS.sample_rate,
+            out_dtype=args.h2d_dtype,
+        )
+    dp_step = gan.jit_data_parallel(step, mesh)
+    # Host decode + H2D transfer overlap device compute (double-buffered).
     it = loader.device_prefetch(
         it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
     )

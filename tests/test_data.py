@@ -298,3 +298,70 @@ class TestLoader:
                 [str(p)], batch_size=1, slice_len=128
             )
             next(it)
+
+
+class TestDeviceCorpus:
+    """HBM-resident corpus: on-device crop sampling (BASELINE.md r5)."""
+
+    def test_bit_identical_to_int16_wire_at_matched_seed(self, wav_dir):
+        # The whole point: same seed ⇒ same (file, offset) stream as the
+        # wire loader, same round(x·32768) samples ⇒ gathered batches equal
+        # the int16 wire batches EXACTLY.
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        kw = dict(batch_size=4, slice_len=4096, repeat=True, seed=11)
+        wire = loader.decode_extract_and_batch(fps, out_dtype="int16", **kw)
+        corpus = loader.DeviceCorpus(fps, 4096, sample_rate=22050)
+        starts = corpus.starts(4, seed=11)
+        for _ in range(3):
+            bw = next(wire)
+            bh = np.asarray(corpus.gather(next(starts)))
+            assert bh.dtype == np.int16
+            np.testing.assert_array_equal(bh, bw)
+
+    def test_short_file_zero_padded(self, tmp_path):
+        x = loader.synthetic_speech(seed=3, n_samples=1000)
+        audioio.save_as_wav(x, tmp_path / "short.wav", 22050)
+        corpus = loader.DeviceCorpus([str(tmp_path / "short.wav")], 4096)
+        b = np.asarray(corpus.gather(next(corpus.starts(2, seed=0))))
+        assert b.shape == (2, 4096)
+        assert (b[:, 1000:] == 0).all()  # tail is stage-time padding
+
+    def test_gather_inside_jit_on_mesh(self, wav_dir):
+        # hbm_data_step: gather + sharding constraint must compose with the
+        # DP-jitted train step on the forced 8-device mesh.
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from advoc_tpu.models.advoc import AdvocGenerator, PatchDiscriminator
+        from advoc_tpu.models.advoc.model import small_config
+        from advoc_tpu.ops.reference import DEFAULT_PARAMS
+        from advoc_tpu.parallel import data_mesh
+        from advoc_tpu.train import gan
+
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        mesh = data_mesh()
+        cfg = small_config()
+        slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
+        corpus = loader.DeviceCorpus(
+            fps, slice_len, sharding=NamedSharding(mesh, P())
+        )
+        g, d = AdvocGenerator(cfg), PatchDiscriminator(cfg)
+        est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+        gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0))
+        base = gan.make_advoc_train_step(g, d, cfg, DEFAULT_PARAMS)
+
+        # Reference: wire path, same starts → same batch → same metrics.
+        starts = next(corpus.starts(8, seed=5))
+        batch = np.asarray(corpus.gather(starts))
+        dp_wire = gan.jit_data_parallel(base, mesh, donate=False)
+        _, _, m_wire = dp_wire(gstate, dstate, batch, jax.random.PRNGKey(2))
+
+        hbm = loader.hbm_data_step(base, corpus, mesh)
+        dp_hbm = gan.jit_data_parallel(hbm, mesh, donate=False)
+        _, _, m_hbm = dp_hbm(gstate, dstate, starts, jax.random.PRNGKey(2))
+        for k in m_wire:
+            np.testing.assert_allclose(
+                float(m_hbm[k]), float(m_wire[k]), rtol=1e-6,
+                err_msg=f"metric {k} differs between hbm and wire paths",
+            )
