@@ -198,27 +198,29 @@ def main(argv=None) -> None:
             )
             print(f"[vocode] {names[i]}.wav ({n} samples)", flush=True)
 
-    t_start = None
-    audio_warm = 0.0
+    # Warm every DISTINCT length bucket before the clock starts — with
+    # multi-bucket inputs, a later bucket's first-call compile would
+    # otherwise land inside the timed region and skew the reported
+    # "after warmup ×realtime" (ADVICE r4).
+    buckets = sorted({voc.bucket(mels[i].shape[0]) for i in order})
+    for tb in buckets:
+        np.asarray(voc(jnp.zeros((args.batch, tb, P.n_mels), np.float32)))
+    print(f"[vocode] warmed {len(buckets)} length bucket(s): {buckets}",
+          flush=True)
+
+    t_start = time.perf_counter()
     pending = None
-    for k, idx in enumerate(groups):
+    for idx in groups:
         out = dispatch(idx)
-        if k == 0:
-            write(idx, out)  # absorbs the compile; then start the clock
-            audio_warm = total_audio
-            t_start = time.perf_counter()
-            continue
         if pending is not None:
             write(*pending)
         pending = (idx, out)
     if pending is not None:
         write(*pending)
-    if len(groups) > 1:
-        dt = time.perf_counter() - t_start
-        done = total_audio - audio_warm
-        print(f"[vocode] {done:.1f}s audio in {dt:.2f}s after warmup "
-              f"({len(groups) - 1} batched calls of {args.batch}) "
-              f"→ {done/dt:.0f}× realtime", flush=True)
+    dt = time.perf_counter() - t_start
+    print(f"[vocode] {total_audio:.1f}s audio in {dt:.2f}s after warmup "
+          f"({len(groups)} batched calls of {args.batch}) "
+          f"→ {total_audio/dt:.0f}× realtime", flush=True)
 
 
 if __name__ == "__main__":

@@ -181,7 +181,11 @@ class VocoderServer:
         if self._server is not None:
             await self._server.wait_closed()
         self._pool.shutdown(wait=True)
-        self._fetch_pool.shutdown(wait=True)
+        # The fetch pool may be mid-np.asarray on a device array whose
+        # readback can take minutes on the tunnel; its task's client futures
+        # were already cancelled above, so don't block stop() on the thread
+        # draining (ADVICE r4) — it is a daemon-safe read-only worker.
+        self._fetch_pool.shutdown(wait=False, cancel_futures=True)
 
     # --- batching core -------------------------------------------------
     async def _batch_loop(self) -> None:
@@ -279,6 +283,10 @@ class VocoderServer:
                         req.fut.set_exception(
                             RuntimeError(f"vocode failed: {e!r}")
                         )
+                # Same poisoned-carry recovery as the readback path.
+                print(f"[serve] device failure at dispatch: {e!r}; "
+                      "resetting vocoder state", flush=True)
+                loop.run_in_executor(self._pool, sv.reset)
                 continue
             if batch or flushes:
                 self.stats.ticks += 1
@@ -327,6 +335,13 @@ class VocoderServer:
                     req.fut.set_exception(
                         RuntimeError(f"vocode failed: {e!r}")
                     )
+            # The vocoder's lazily-poisoned carry would fail every later
+            # tick per-request with no recovery (ADVICE r4): log once and
+            # reset ALL carry state on the device thread (which serializes
+            # sv access), so subsequent ticks start from clean streams.
+            print(f"[serve] device failure at readback: {e!r}; "
+                  "resetting vocoder state", flush=True)
+            loop.run_in_executor(self._pool, self.sv.reset)
             return
         finally:
             self._tick_slots.release()
@@ -437,10 +452,13 @@ class ServerHandle:
     def address(self) -> tuple[str, int]:
         return self.server.address
 
-    def stop(self) -> None:
+    def stop(self, timeout: float = 120.0) -> None:
+        # Default raised from 30 s: stop() can sit behind an in-flight
+        # device dispatch, and single readbacks have measured minutes on
+        # the axon tunnel (ADVICE r4).
         asyncio.run_coroutine_threadsafe(
             self.server.stop(), self._loop
-        ).result(timeout=30)
+        ).result(timeout=timeout)
         self._loop.call_soon_threadsafe(self._loop.stop)
         self._thread.join(timeout=30)
 

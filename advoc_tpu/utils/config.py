@@ -37,9 +37,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     else:
         cache = path or os.path.expanduser("~/.jax_cache")
         os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
-    if cache and "jax" in sys.modules:
+    if "jax" in sys.modules:
         import jax
 
+        # cache=None must also *clear* a previously-enabled in-process cache
+        # so the documented "empty string = explicitly disabled" contract
+        # holds after an earlier enable (ADVICE r4).
         jax.config.update("jax_compilation_cache_dir", cache)
     return cache
 

@@ -53,6 +53,11 @@ def main(argv=None) -> None:
     p.add_argument("--longform_seconds", default="30",
                    help="comma list of offline Vocoder utterance lengths to "
                         "compile (bucketed to chunk multiples); '' = none")
+    p.add_argument("--longform_batch", default="1,8",
+                   help="comma list of offline Vocoder batch sizes to "
+                        "compile per length bucket — 1 covers the per-file/"
+                        "AOT path, 8 is vocode_cli's --batch default "
+                        "(ADVICE r4)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -97,15 +102,18 @@ def main(argv=None) -> None:
             g_apply=sv0.g_apply, g_params=sv0.g_params, params=P,
             gl_iters=30,
         )
+        batches = [int(b) for b in args.longform_batch.split(",") if b]
         for s in secs:
             t_frames = voc.bucket(int(s * P.sample_rate / P.hop_length))
-            mel = np.zeros((1, t_frames, P.n_mels), np.float32)
-            t0 = time.perf_counter()
-            np.asarray(voc._compiled(t_frames)(voc.g_params, mel))
-            shapes[f"vocoder:{t_frames}frames(~{s:g}s)"] = (
-                time.perf_counter() - t0
-            )
-            log(f"[precompile] long-form {s:g}s (bucket {t_frames}) compiled")
+            for b in batches:
+                mel = np.zeros((b, t_frames, P.n_mels), np.float32)
+                t0 = time.perf_counter()
+                np.asarray(voc._compiled(t_frames)(voc.g_params, mel))
+                shapes[f"vocoder:B{b}x{t_frames}frames(~{s:g}s)"] = (
+                    time.perf_counter() - t0
+                )
+                log(f"[precompile] long-form {s:g}s (bucket {t_frames}, "
+                    f"batch {b}) compiled")
 
     total = time.perf_counter() - t_all
     result = {
