@@ -80,6 +80,22 @@ def cost_of(fn: Callable, *args) -> dict:
     }
 
 
+def cost_of_scan(make_fn: Callable, n_iters: int, *args) -> dict:
+    """Trip-count-honest cost of a graph whose hot loop is one ``lax.scan``.
+
+    XLA's cost analysis counts a while-loop body ONCE regardless of trip
+    count (verified on this jax: a scan of 30 matmuls reports the flops of
+    exactly one). ``make_fn(n)`` must return the graph built with ``n``
+    scan iterations; then ``cost(make_fn(0))`` is prologue+epilogue and
+    ``cost(make_fn(1)) − cost(make_fn(0))`` is one loop body, so the honest
+    total is ``c0 + n_iters × body`` — exact because scan FLOPs/bytes are
+    linear in trip count (every iteration runs the same HLO body).
+    """
+    c0 = cost_of(make_fn(0), *args)
+    c1 = cost_of(make_fn(1), *args)
+    return {k: c0[k] + n_iters * (c1[k] - c0[k]) for k in c0}
+
+
 def slope_time(fn: Callable, *args, k_lo: int = 2, k_hi: int = 10,
                trials: int = 3) -> float:
     """True per-call device seconds via chained-call slope timing.

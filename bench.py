@@ -74,26 +74,28 @@ def main() -> None:
     gl_precision = jax.lax.Precision.DEFAULT
     log(f"[bench] phase impl: {fft_impl}")
 
-    def fused_vocode(params, mel):
-        est = spectral.r9y9_melspec_to_magspec(mel, P)
-        est_norm = spectral.normalize_db(
-            spectral.amp_to_db(est, P) - P.ref_level_db, P
-        )
-        repaired = g.apply({"params": params}, est_norm)
-        mag = spectral.db_to_amp(
-            spectral.denormalize_db(repaired, P) + P.ref_level_db
-        )
-        # Shipped default for trained vocoders (BASELINE.md r4 STOI
-        # section): the bench graph mirrors the production path. Cost is
-        # two fused matmuls — within timing noise at every B measured.
-        mag = spectral.mel_consistency_project(mag, mel, P)
-        return spectral.griffin_lim(
-            mag, cfg.n_frames * P.hop_length, n_iters=GL_ITERS,
-            momentum=0.99, params=P, precision=gl_precision,
-            fft_impl=fft_impl,
-        )
+    def make_fused(impl, n_iters=GL_ITERS):
+        def fused_vocode(params, mel):
+            est = spectral.r9y9_melspec_to_magspec(mel, P)
+            est_norm = spectral.normalize_db(
+                spectral.amp_to_db(est, P) - P.ref_level_db, P
+            )
+            repaired = g.apply({"params": params}, est_norm)
+            mag = spectral.db_to_amp(
+                spectral.denormalize_db(repaired, P) + P.ref_level_db
+            )
+            # Shipped default for trained vocoders (BASELINE.md r4 STOI
+            # section): the bench graph mirrors the production path. Cost is
+            # two fused matmuls — within timing noise at every B measured.
+            mag = spectral.mel_consistency_project(mag, mel, P)
+            return spectral.griffin_lim(
+                mag, cfg.n_frames * P.hop_length, n_iters=n_iters,
+                momentum=0.99, params=P, precision=gl_precision,
+                fft_impl=impl,
+            )
+        return fused_vocode
 
-    vocode = jax.jit(fused_vocode)
+    vocode = jax.jit(make_fused(fft_impl))
 
     # Real speech-like mels (content irrelevant to throughput, but honest).
     wav = loader.synthetic_speech(0, B * cfg.n_frames * P.hop_length)
@@ -145,6 +147,33 @@ def main() -> None:
     finite = bool(jax.device_get(jnp.isfinite(out).all()))
     assert finite, "non-finite vocoder output"
 
+    # --- whole-graph MFU next to ×RT (VERDICT r4 #1; roofline table in
+    # BASELINE.md r5). FLOPs come from XLA cost analysis of the matmul-DFT
+    # variant of the SAME graph (the Pallas custom call is invisible to the
+    # analysis; same algorithm ⇒ same required FLOPs), trip-count-corrected
+    # for the G-L scan (cost analysis counts a while body once —
+    # utils.roofline.cost_of_scan), plus the kernel's split bf16 (hi,lo)
+    # synthesis extra pass. The two small costing compiles (0- and 1-iter
+    # graphs) hit the persistent cache after the first run.
+    mfu = None
+    try:
+        from advoc_tpu.utils import roofline as rl
+
+        peaks = rl.device_peaks()
+        flops = rl.cost_of_scan(
+            lambda n: jax.jit(make_fused("matmul", n)), GL_ITERS,
+            gparams, mel,
+        )["flops"]
+        if fft_impl == "pallas":
+            flops += GL_ITERS * 2 * B * cfg.n_frames * 512 * P.n_fft * 2
+        mfu = flops / chained / peaks.flops_per_s
+        log(f"[bench] whole graph: {flops/1e12:.2f} TFLOP in "
+            f"{chained*1000:.1f} ms → {flops/chained/1e12:.1f} TFLOP/s "
+            f"= {mfu*100:.1f}% MFU of {peaks.name}"
+            + (" (peaks assumed — not a TPU)" if peaks.assumed else ""))
+    except Exception as e:  # accounting must never sink the headline line
+        log(f"[bench] MFU accounting failed: {e}")
+
     # --- secondary: small-footprint streaming config (BASELINE config 4) ---
     try:
         scfg = small_config()
@@ -187,12 +216,15 @@ def main() -> None:
         except Exception as e:
             log(f"[bench] extended panel failed: {e}")
 
-    print(json.dumps({
+    line = {
         "metric": "vocoding_realtime_factor",
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 100.0, 3),
-    }), flush=True)
+    }
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    print(json.dumps(line), flush=True)
 
 
 def extended_panel(log) -> None:

@@ -102,14 +102,14 @@ def main(argv=None) -> None:
         )
         return spectral.mel_consistency_project(mag, mel, P)
 
-    def gl(mag, impl):
+    def gl(mag, impl, n=args.gl_iters):
         return spectral.griffin_lim(
-            mag, T * hop, n_iters=args.gl_iters, momentum=0.99, params=P,
+            mag, T * hop, n_iters=n, momentum=0.99, params=P,
             precision=jax.lax.Precision.DEFAULT, fft_impl=impl,
         )
 
-    def fused(params, mel, impl):
-        return gl(to_mag_project(unet(params, featurize(mel)), mel), impl)
+    def fused(params, mel, impl, n=args.gl_iters):
+        return gl(to_mag_project(unet(params, featurize(mel)), mel), impl, n)
 
     est_norm = jax.jit(featurize)(mel)
     repaired = jax.jit(unet)(gparams, est_norm)
@@ -117,8 +117,9 @@ def main(argv=None) -> None:
 
     rows = []
 
-    def stage(name, fn, *sargs, flops=None, bytes_=None, time_fn=None):
-        cost = rl.cost_of(fn, *sargs)
+    def stage(name, fn, *sargs, flops=None, bytes_=None, time_fn=None,
+              cost=None):
+        cost = cost or rl.cost_of(fn, *sargs)
         secs = rl.slope_time(
             jax.jit(time_fn or fn), *sargs, k_hi=args.k_hi
         )
@@ -137,8 +138,14 @@ def main(argv=None) -> None:
     stage("featurize+pinv estimate", featurize, mel)
     stage("U-Net forward", unet, gparams, est_norm)
     stage("db→amp + mel projection", to_mag_project, repaired, mel)
+    # XLA cost analysis counts the G-L scan body ONCE regardless of trip
+    # count, so every G-L-containing stage is costed trip-count-honestly
+    # via cost_of_scan (c0 + n·(c1−c0) from length-0/1 scan graphs).
+    gl_xla_cost = rl.cost_of_scan(
+        lambda n: (lambda m: gl(m, "matmul", n)), args.gl_iters, mag
+    )
     gl_xla_row = stage(f"fast-GL ×{args.gl_iters} (XLA matmul)",
-                       lambda m: gl(m, "matmul"), mag)
+                       lambda m: gl(m, "matmul"), mag, cost=gl_xla_cost)
 
     # Pallas G-L: FLOPs = XLA graph's + the split-synthesis extra pass.
     # Synthesis per iteration runs re+im (BT,F)@(F,n_fft) dots; split bf16
@@ -164,15 +171,22 @@ def main(argv=None) -> None:
         )
 
     impl = "pallas" if on_tpu else "matmul"
+    whole_cost = rl.cost_of_scan(
+        lambda n: (lambda p_, m: fused(p_, m, "matmul", n)),
+        args.gl_iters, gparams, mel,
+    )
     whole = stage(
         "WHOLE fused vocoder (shipped)",
         lambda p_, m: fused(p_, m, "matmul"), gparams, mel,
-        flops=None if not on_tpu else None,  # flops from the matmul graph
+        cost=whole_cost,
         time_fn=lambda p_, m: fused(p_, m, impl),
     )
     if on_tpu:
-        # Correct the whole-graph flops for the kernel's extra split pass.
+        # Correct the whole-graph flops for the kernel's extra split pass;
+        # the G-L loop's HBM round trips vanish in VMEM, so replace the XLA
+        # loop bytes with the kernel's resident minimum.
         whole["flops"] += split_extra
+        whole["bytes"] += pallas_bytes - gl_xla_cost["bytes"]
         whole.update(rl.roofline_row(
             whole["stage"], whole["flops"], whole["bytes"],
             whole["ms"] / 1e3, peaks,
