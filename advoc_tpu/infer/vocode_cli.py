@@ -49,6 +49,13 @@ def main(argv=None) -> None:
                         "BASELINE.md r4 STOI section")
     p.add_argument("--batch", type=int, default=8,
                    help="mels vocoded per device call")
+    p.add_argument("--longform", action="store_true",
+                   help="length-universal mode: every input rides ONE "
+                        "fixed-tile executable (Vocoder.vocode_longform) — "
+                        "no per-length-bucket compiles; use for long or "
+                        "arbitrarily-varied durations")
+    p.add_argument("--longform_tile", type=int, default=1024,
+                   help="longform tile frames (multiple of the model chunk)")
     args = p.parse_args(argv)
     if args.aot and args.aot_export:
         p.error("--aot serves an existing artifact; it cannot be combined "
@@ -144,6 +151,31 @@ def main(argv=None) -> None:
 
     total_audio = 0.0
     hop = P.hop_length
+
+    if args.longform:
+        if args.aot:
+            p.error("--longform needs the live Vocoder (AOT artifacts are "
+                    "fixed-shape by design)")
+        # One push + one flush executable for EVERY duration; the tile loop
+        # pipelines dispatch against compute internally (vocode_longform).
+        t_start = None
+        t_audio0 = 0.0
+        for mel, name in zip(mels, names):
+            wav = voc.vocode_longform(mel, tile_frames=args.longform_tile)
+            if t_start is None:
+                t_start = time.perf_counter()  # exclude first-call compile
+                t_audio0 = len(wav) / P.sample_rate
+            total_audio += len(wav) / P.sample_rate
+            audioio.save_as_wav(wav, out_dir / f"{name}.wav", P.sample_rate)
+            print(f"[vocode] {name}.wav ({len(wav)} samples, longform)",
+                  flush=True)
+        if t_start is not None and len(mels) > 1:
+            dt = time.perf_counter() - t_start
+            done = total_audio - t_audio0
+            print(f"[vocode] {done:.1f}s audio in {dt:.2f}s after warmup "
+                  f"(one {args.longform_tile}-frame tile executable) "
+                  f"→ {done/dt:.0f}× realtime", flush=True)
+        return
 
     if args.aot or args.batch <= 1 or len(mels) == 1:
         # Per-file loop (AOT artifacts are typically exported at batch 1).

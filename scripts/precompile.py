@@ -50,9 +50,16 @@ def main(argv=None) -> None:
     add_args(p)  # same model/engine/shape flags as the serving CLI
     p.add_argument("--engines", default=None,
                    help="comma list overriding --engine (e.g. gl,lws_block)")
-    p.add_argument("--longform_seconds", default="30",
-                   help="comma list of offline Vocoder utterance lengths to "
-                        "compile (bucketed to chunk multiples); '' = none")
+    p.add_argument("--longform_tile", type=int, default=1024,
+                   help="length-universal longform tile (ONE push+flush "
+                        "executable covers every duration — "
+                        "Vocoder.vocode_longform, VERDICT r4 #6); 0 = skip")
+    p.add_argument("--longform_seconds", default="",
+                   help="comma list of BUCKETED offline Vocoder lengths to "
+                        "additionally compile — only needed for the "
+                        "fixed-shape AOT/batched path ('' = none; the "
+                        "length-universal tile above is the default "
+                        "long-form shape)")
     p.add_argument("--longform_batch", default="1,8",
                    help="comma list of offline Vocoder batch sizes to "
                         "compile per length bucket — 1 covers the per-file/"
@@ -89,9 +96,10 @@ def main(argv=None) -> None:
         )
         log(f"[precompile] {engine}: push+flush compiled")
 
-    # --- long-form offline Vocoder length buckets ---
+    # --- long-form: the length-universal tile executable (default), plus
+    # optional bucketed shapes for the fixed-shape AOT/batched path ---
     secs = [float(s) for s in args.longform_seconds.split(",") if s]
-    if secs:
+    if secs or args.longform_tile:
         from advoc_tpu.infer import Vocoder
 
         # Same generator config the serving vocoder used (or heuristic).
@@ -102,6 +110,17 @@ def main(argv=None) -> None:
             g_apply=sv0.g_apply, g_params=sv0.g_params, params=P,
             gl_iters=30,
         )
+    if args.longform_tile:
+        tile = args.longform_tile
+        t0 = time.perf_counter()
+        # One short utterance through the tile engine compiles BOTH its
+        # executables (push + flush) — every future duration is a cache hit.
+        voc.vocode_longform(
+            np.zeros((tile, P.n_mels), np.float32), tile_frames=tile
+        )
+        shapes[f"longform_tile:{tile}frames"] = time.perf_counter() - t0
+        log(f"[precompile] length-universal longform tile {tile} compiled")
+    if secs:
         batches = [int(b) for b in args.longform_batch.split(",") if b]
         for s in secs:
             t_frames = voc.bucket(int(s * P.sample_rate / P.hop_length))
