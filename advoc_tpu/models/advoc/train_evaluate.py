@@ -120,7 +120,7 @@ def train(args) -> None:
           f"{len(jax.devices())} device(s)", flush=True)
 
     step = gan.make_advoc_train_step(g, d, cfg, DEFAULT_PARAMS)
-    mesh = data_mesh(args.n_devices)
+    mesh = data_mesh(args.n_devices, batch_size=args.batch_size)
 
     fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
     slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length

@@ -105,7 +105,7 @@ def train(args) -> None:
     print(f"[train] melspecgan: {len(jax.devices())} device(s)", flush=True)
 
     step = gan.make_melspecgan_train_step(g, d, cfg, DEFAULT_PARAMS)
-    mesh = data_mesh(args.n_devices)
+    mesh = data_mesh(args.n_devices, batch_size=args.batch_size)
     dp_step = gan.jit_data_parallel(step, mesh, batch_axis=1)
 
     fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")

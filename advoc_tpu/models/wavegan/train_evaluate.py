@@ -116,7 +116,7 @@ def train(args) -> None:
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
     cfg = make_config(args)
-    mesh = data_mesh(args.n_devices)
+    mesh = data_mesh(args.n_devices, batch_size=args.batch_size)
     fps = ensure_dataset(args.data_dir, f"{args.train_dir}/synthetic_data")
 
     if args.conditional:

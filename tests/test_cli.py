@@ -360,3 +360,53 @@ class TestCompilationCacheHelper:
             assert jax.config.jax_compilation_cache_dir == got
         finally:
             jax.config.update("jax_compilation_cache_dir", prev)
+
+
+class TestRunCorpusRunbook:
+    """One-command corpus runbook (VERDICT r4 next #7): every production
+    stage — prep → train(+concurrent CPU eval) → bundle → stress panel →
+    AOT export → precompile → serve selftest — green from ONE command on a
+    tiny synthetic corpus. The full-scale (13k files, 22.05 kHz) rehearsal
+    of the same command is recorded in BASELINE.md r5."""
+
+    def test_end_to_end_tiny(self, tmp_path, capfd):
+        import json
+        import re
+        import runpy
+        import sys
+
+        argv = [
+            "run_corpus.py",
+            "--corpus_dir", str(tmp_path / "corpus"),
+            "--run_dir", str(tmp_path / "run"),
+            "--synthetic", "6", "--cpu",
+            "--model_overrides",
+            "width=8,depth=4,n_frames=64,disc_width=8,dtype=float32",
+            "--max_steps", "2", "--ckpt_every", "2", "--batch_size", "2",
+            "--eval_fraction", "0.25", "--eval_timeout_s", "15",
+            "--gl_iters", "2", "--serve_clients", "1",
+        ]
+        import pathlib
+        script = (pathlib.Path(__file__).resolve().parent.parent
+                  / "scripts" / "run_corpus.py")
+        old_argv = sys.argv
+        sys.argv = argv
+        try:
+            runpy.run_path(str(script), run_name="__main__")
+        finally:
+            sys.argv = old_argv
+        out = capfd.readouterr().out
+        m = re.search(r"RUN_CORPUS_RESULT (\{.*\})", out)
+        assert m, out[-2000:]
+        result = json.loads(m.group(1))
+        assert result["ok"] is True
+        assert set(result["stages_s"]) >= {
+            "synthesize", "prep", "train", "bundle", "panel", "aot",
+            "precompile", "serve",
+        }, result["stages_s"]
+        # Every stage left its log and the serve selftest really served.
+        logs = tmp_path / "run" / "logs"
+        for s in ("prep", "train", "eval", "panel", "aot", "precompile",
+                  "serve"):
+            assert (logs / f"{s}.log").exists(), s
+        assert result["serve"]["pushes"] == 6

@@ -1,6 +1,7 @@
 """Sequence-parallel halo exchange tests on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,23 @@ from advoc_tpu.parallel import data_mesh
 from advoc_tpu.parallel.halo import sharded_melspec, sharded_stft_mag
 
 P = DEFAULT_PARAMS
+
+
+class TestDataMesh:
+    """Batch-aware mesh sizing: a tiny debug batch on a many-device host
+    shrinks the DP mesh instead of failing the P('data') sharding (found by
+    the run_corpus CI runbook: batch 2 on the 8-device test mesh)."""
+
+    def test_shrinks_to_largest_divisor(self):
+        assert data_mesh(batch_size=2).devices.size == 2
+        assert data_mesh(batch_size=16).devices.size == 8
+        assert data_mesh(batch_size=12).devices.size == 6
+        assert data_mesh(batch_size=7).devices.size == 7
+
+    def test_explicit_n_devices_must_divide(self):
+        with pytest.raises(ValueError, match="divisible"):
+            data_mesh(8, batch_size=2)
+        assert data_mesh(2, batch_size=2).devices.size == 2
 
 
 class TestHaloExchange:
