@@ -911,6 +911,61 @@ class StreamingVocoder:
             pc1.at[stream].set(1.0), ps1.at[stream].set(0.0),
         )
 
+    def _ensure_state(self) -> tuple:
+        """Initialize any missing carry state; return the engine's state
+        args in ``_run``'s argument order (after g_params, mel, active)."""
+        if self._lws_engine:
+            if self._state_lws is None:
+                self._state_lws = tuple(
+                    self._shard(x) for x in spectral.lws_online_init(
+                        self.n_streams, self.lws_look_ahead, self.params
+                    )
+                )
+            if self._state_ola is None:
+                self._state_ola = tuple(
+                    self._shard(x) for x in spectral.istft_stream_init(
+                        self.n_streams, self.params
+                    )
+                )
+            if self._state_mel is None:
+                self._state_mel = self._shard(jnp.zeros(
+                    (self.n_streams, 2 * self.mel_context,
+                     self.params.n_mels),
+                    jnp.float32,
+                ))
+            return (self._state_mel, *self._state_lws, *self._state_ola)
+        # Tail and phase carries initialize independently (tests ablate the
+        # phase carry alone by setting _state_phase = None).
+        if self._state_magtail is None:
+            self._state_magtail = self._fresh_state()[0]
+        if self._state_wav is None:
+            self._state_wav = self._fresh_state()[1]
+        if self._state_phase is None:
+            self._state_phase = self._fresh_state()[2]
+        return (self._state_magtail, self._state_wav, *self._state_phase)
+
+    def lowered_push_hlo(self) -> str:
+        """StableHLO text of the push executable (trace-only, no compile).
+
+        Serving diagnostic: the r4 warm-start investigation mis-attributed
+        the intermittent minutes-long first push to \"the Pallas G-L custom
+        call\" — in fact the streaming push contains NO custom call at all
+        (the gl engine's phase carry forces ``fft_impl='matmul'``, and the
+        lws engines are pure XLA); the variable is the remote
+        executable-load service on any large executable
+        (BASELINE.md r5). A regression test greps this text to keep the
+        push custom-call-free, so that attribution can never silently
+        become true.
+        """
+        mel = jnp.zeros(
+            (self.n_streams, self.chunk, self.params.n_mels),
+            self.mel_dtype,
+        )
+        active = jnp.zeros(self.n_streams, bool)
+        return self._run.lower(
+            self.g_params, mel, active, *self._ensure_state()
+        ).as_text()
+
     def push(self, mel_chunk, active=None, readback=True) -> np.ndarray:
         """Vocode one chunk per stream; returns exactly ``chunk_frames·hop``
         emitted waveform samples per stream (every engine). Chunks are
@@ -964,28 +1019,8 @@ class StreamingVocoder:
             # look_ahead frames — except each stream's FIRST n_fft//2
             # emitted samples (`self.preroll_samples`) are the center-pad
             # pre-roll, which the caller drops once per stream start.
-            if self._state_lws is None:
-                self._state_lws = tuple(
-                    self._shard(x) for x in spectral.lws_online_init(
-                        self.n_streams, self.lws_look_ahead, self.params
-                    )
-                )
-            if self._state_ola is None:
-                self._state_ola = tuple(
-                    self._shard(x) for x in spectral.istft_stream_init(
-                        self.n_streams, self.params
-                    )
-                )
-            if self._state_mel is None:
-                self._state_mel = self._shard(jnp.zeros(
-                    (self.n_streams, 2 * self.mel_context, self.params.n_mels),
-                    jnp.float32,
-                ))
-            s_re, s_im, mb = self._state_lws
-            ola, ws = self._state_ola
             emit, mel_ctx, s_re, s_im, mb, ola, ws = self._run(
-                self.g_params, mel_chunk, active, self._state_mel,
-                s_re, s_im, mb, ola, ws,
+                self.g_params, mel_chunk, active, *self._ensure_state()
             )
             self._state_lws = (s_re, s_im, mb)
             self._state_ola = (ola, ws)
@@ -994,18 +1029,8 @@ class StreamingVocoder:
                 return emit[0] if squeeze else emit
             out = np.asarray(emit)
             return out[0] if squeeze else out
-        # Tail and phase carries initialize independently (tests ablate the
-        # phase carry alone by setting _state_phase = None).
-        if self._state_magtail is None:
-            self._state_magtail = self._fresh_state()[0]
-        if self._state_wav is None:
-            self._state_wav = self._fresh_state()[1]
-        if self._state_phase is None:
-            self._state_phase = self._fresh_state()[2]
-        pc, ps, pc1, ps1 = self._state_phase
         emit, mag_tail, tail, fc, fs, fc1, fs1 = self._run(
-            self.g_params, mel_chunk, active, self._state_magtail,
-            self._state_wav, pc, ps, pc1, ps1
+            self.g_params, mel_chunk, active, *self._ensure_state()
         )
         # Keep carries on device; fetch only the emitted samples.
         self._state_magtail = mag_tail

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (traps the first NaN at its "
                         "producing op; slow — debugging only)")
+    p.add_argument("--d_lr", type=float, default=None,
+                   help="discriminator learning rate override (TTUR "
+                        "stabilizer — the r3 conditional run diverged at "
+                        "~step 1900 with an overpowered D at matched lrs; "
+                        "BASELINE.md r5 guard-demo section)")
     return p
 
 
@@ -60,7 +65,7 @@ def make_config(args):
     return apply_overrides(WaveGANConfig(), args.model_overrides)
 
 
-def _cond_models_and_states(cfg, seed):
+def _cond_models_and_states(cfg, seed, d_lr=None):
     import jax.numpy as jnp
 
     from advoc_tpu.models.wavegan.conditional import (
@@ -75,7 +80,7 @@ def _cond_models_and_states(cfg, seed):
     w0 = jnp.zeros((1, cfg.slice_len))
     gstate, dstate = gan.make_states(
         g, d, (m0,), (w0, m0), seed=seed,
-        g_tx=gan.adam(2e-4), d_tx=gan.adam(2e-4),
+        g_tx=gan.adam(2e-4), d_tx=gan.adam(d_lr if d_lr else 2e-4),
     )
     return g, d, gstate, dstate
 
@@ -122,7 +127,7 @@ def train(args) -> None:
     if args.conditional:
         from advoc_tpu.ops.reference import DEFAULT_PARAMS
 
-        g, d, gstate, dstate = _cond_models_and_states(cfg, args.seed)
+        g, d, gstate, dstate = _cond_models_and_states(cfg, args.seed, d_lr=args.d_lr)
         print(f"[train] conditional wavegan (mel→waveform): "
               f"{len(jax.devices())} device(s)", flush=True)
         step = gan.make_cond_wavegan_train_step(g, d, cfg, DEFAULT_PARAMS)

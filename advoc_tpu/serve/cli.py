@@ -98,6 +98,18 @@ def add_args(p: argparse.ArgumentParser) -> None:
                    default="int16")
     p.add_argument("--mel_dtype", choices=["float32", "float16"],
                    default="float32")
+    p.add_argument("--warmup", choices=["background", "block"], default=None,
+                   help="'background' (serving default): accept TCP "
+                        "connections immediately and run the push/flush "
+                        "warmup through the server's device queue — the "
+                        "endpoint is up in seconds regardless of how long "
+                        "the first executable load takes (the axon "
+                        "remote-load service has paid minutes on an "
+                        "identical warm cache, BASELINE.md r4/r5); clients "
+                        "connecting early just see a slow first chunk. "
+                        "'block' (selftest default): finish the warmup "
+                        "before accepting, so reported latency stats are "
+                        "steady-state.")
     p.add_argument("--selftest", type=int, default=0, metavar="N_CLIENTS",
                    help="start, drive with N concurrent clients, report, exit")
     p.add_argument("--pushes", type=int, default=10,
@@ -251,33 +263,53 @@ def main(argv=None) -> None:
     # (device/client init vs push vs flush) is the first diagnostic.
     import jax
 
+    warmup = args.warmup or ("block" if args.selftest else "background")
+    t_start = time.perf_counter()
     t0 = time.perf_counter()
     jax.devices()
     t_dev = time.perf_counter() - t0
     t0 = time.perf_counter()
     sv = build_vocoder(args)
     t_build = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sv.push(
-        np.zeros((args.n_slots, args.chunk_frames, sv.params.n_mels)),
-        active=np.zeros(args.n_slots, bool),
-    )
-    t_push = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sv.flush(active=np.zeros(args.n_slots, bool))
-    sv.reset()
-    t_flush = time.perf_counter() - t0
-    print(f"warmup compile: {t_push + t_flush:.1f} s "
-          f"(devices {t_dev:.1f} + build {t_build:.1f} + push {t_push:.1f}"
-          f" + flush {t_flush:.1f})", flush=True)
 
+    def do_warmup() -> None:
+        # All-inactive masked calls: carries are untouched bit-exactly, so
+        # this is safe to interleave with (i.e. run just ahead of) real
+        # traffic. np.asarray forces a full execute, not just a dispatch —
+        # the executable is loaded on the device when this returns.
+        t0 = time.perf_counter()
+        np.asarray(sv.push(
+            np.zeros((args.n_slots, args.chunk_frames, sv.params.n_mels),
+                     sv.mel_dtype),
+            active=np.zeros(args.n_slots, bool),
+        ))
+        t_push = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(sv.flush(active=np.zeros(args.n_slots, bool)))
+        sv.reset()
+        t_flush = time.perf_counter() - t0
+        print(f"warmup compile: {t_push + t_flush:.1f} s "
+              f"(devices {t_dev:.1f} + build {t_build:.1f} "
+              f"+ push {t_push:.1f} + flush {t_flush:.1f})", flush=True)
+
+    if warmup == "block":
+        do_warmup()
     handle = start_in_thread(
         sv, host=args.host, port=args.port, coalesce_ms=args.coalesce_ms,
         pipeline_depth=args.pipeline_depth,
     )
     host, port = handle.address
+    if warmup == "background":
+        # Through the server's single-worker device pool: FIFO, so the
+        # warmup executes before any tick that queues behind it, and the
+        # endpoint above is already accepting. Worst-case executable-load
+        # weather (BASELINE.md r4: 515 s on a warm cache) now costs early
+        # clients first-chunk latency instead of a dead endpoint.
+        handle.server._pool.submit(do_warmup)
     print(f"serving {args.n_slots} slots on {host}:{port} "
-          f"(engine={args.engine})", flush=True)
+          f"(engine={args.engine}, warmup={warmup}, "
+          f"accepting after {time.perf_counter() - t_start:.1f} s)",
+          flush=True)
 
     if not args.selftest:
         try:
