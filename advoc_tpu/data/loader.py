@@ -363,30 +363,46 @@ class DeviceCorpus:
                 out[b] = offs[i] + start
             yield out
 
-    def gather(self, starts):
+    def gather(self, starts, samples=None):
         """(B,) int32 flat starts → (B, slice_len) int16 crops. Pure JAX —
         call inside the jitted train step so the crop gather fuses with
-        featurization and the batch never exists on the host."""
+        featurization and the batch never exists on the host.
+
+        ``samples``: pass the staged buffer as an EXPLICIT jit argument when
+        calling under jit. Closing over ``self._samples`` instead embeds the
+        whole corpus as a lowered constant — a 3.68 GB executable on the
+        13k-file rehearsal that the axon compile service then has to ship
+        (caught live in the r5 full-scale run; regression-tested in
+        tests/test_data.py)."""
         import jax
         import jax.numpy as jnp
 
+        if samples is None:
+            samples = self._samples
         return jax.vmap(
             lambda s: jax.lax.dynamic_slice(
-                self._samples, (s,), (self.slice_len,)
+                samples, (s,), (self.slice_len,)
             )
         )(jnp.asarray(starts))
 
 
-def hbm_data_step(step_fn, corpus: "DeviceCorpus", mesh=None):
+def hbm_data_step(step_fn, corpus: "DeviceCorpus", mesh=None,
+                  donate: bool = True):
     """Wrap a (gstate, dstate, batch, rng) step to take crop starts instead.
 
-    The wrapped step gathers the batch from the HBM-resident corpus inside
-    the same jit region; with a mesh, the gathered batch is constrained to
-    'data' sharding so DP partitioning is identical to the wire path."""
+    Returns a fully-jitted ``step(gstate, dstate, starts, rng)`` — do NOT
+    re-wrap it in :func:`advoc_tpu.train.gan.jit_data_parallel`. The jit
+    lives here because the staged corpus must be threaded through as an
+    explicit argument of the compiled function: a closure capture lowers
+    the whole corpus into the executable as a constant (gigabytes, see
+    :meth:`DeviceCorpus.gather`). The gather runs inside the same jit
+    region as the train step, so the batch never exists on the host; with
+    a mesh, starts arrive sharded on 'data' and states replicated, so DP
+    partitioning is identical to the wire path."""
     import jax
 
-    def step(gstate, dstate, starts, rng):
-        batch = corpus.gather(starts)
+    def inner(gstate, dstate, starts, rng, samples):
+        batch = corpus.gather(starts, samples=samples)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -394,6 +410,18 @@ def hbm_data_step(step_fn, corpus: "DeviceCorpus", mesh=None):
                 batch, NamedSharding(mesh, PartitionSpec("data"))
             )
         return step_fn(gstate, dstate, batch, rng)
+
+    jitted = jax.jit(inner, donate_argnums=(0, 1) if donate else ())
+
+    def step(gstate, dstate, starts, rng):
+        if mesh is not None:
+            from advoc_tpu.parallel import mesh as mesh_lib
+
+            starts = mesh_lib.shard_batch(starts, mesh)
+            gstate, dstate, rng = mesh_lib.replicate(
+                (gstate, dstate, rng), mesh
+            )
+        return jitted(gstate, dstate, starts, rng, corpus._samples)
 
     return step
 

@@ -160,7 +160,10 @@ def train(args) -> None:
         )
         print(f"[train] corpus staged in HBM: {len(fps)} files, "
               f"{corpus.nbytes/2**20:.0f} MB int16", flush=True)
-        step = loader.hbm_data_step(step, corpus, mesh)
+        # hbm_data_step owns the jit (the staged corpus must be an explicit
+        # argument — see DeviceCorpus.gather); no jit_data_parallel re-wrap,
+        # and the 64-byte starts wire needs no prefetch.
+        dp_step = loader.hbm_data_step(step, corpus, mesh)
         it = corpus.starts(args.batch_size, seed=args.seed)
     else:
         it = loader.decode_extract_and_batch(
@@ -168,11 +171,12 @@ def train(args) -> None:
             seed=args.seed, sample_rate=DEFAULT_PARAMS.sample_rate,
             out_dtype=args.h2d_dtype,
         )
-    dp_step = gan.jit_data_parallel(step, mesh)
-    # Host decode + H2D transfer overlap device compute (double-buffered).
-    it = loader.device_prefetch(
-        it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
-    )
+        dp_step = gan.jit_data_parallel(step, mesh)
+        # Host decode + H2D transfer overlap device compute
+        # (double-buffered).
+        it = loader.device_prefetch(
+            it, sharding=NamedSharding(mesh, Pspec("data")), depth=2
+        )
     import dataclasses
 
     harness.train_loop(

@@ -357,11 +357,53 @@ class TestDeviceCorpus:
         dp_wire = gan.jit_data_parallel(base, mesh, donate=False)
         _, _, m_wire = dp_wire(gstate, dstate, batch, jax.random.PRNGKey(2))
 
-        hbm = loader.hbm_data_step(base, corpus, mesh)
-        dp_hbm = gan.jit_data_parallel(hbm, mesh, donate=False)
-        _, _, m_hbm = dp_hbm(gstate, dstate, starts, jax.random.PRNGKey(2))
+        # hbm_data_step owns its jit (no jit_data_parallel re-wrap — an
+        # outer jit would re-capture the corpus as a lowered constant).
+        hbm = loader.hbm_data_step(base, corpus, mesh, donate=False)
+        _, _, m_hbm = hbm(gstate, dstate, starts, jax.random.PRNGKey(2))
         for k in m_wire:
             np.testing.assert_allclose(
                 float(m_hbm[k]), float(m_wire[k]), rtol=1e-6,
                 err_msg=f"metric {k} differs between hbm and wire paths",
             )
+
+    def test_corpus_never_lowered_as_constant(self, wav_dir):
+        # Regression (r5 full-scale run): closing over the staged buffer
+        # embedded the whole corpus in the executable — 3.68 GB of lowered
+        # constants that the compile service then had to ship. The corpus
+        # must ride as a jit ARGUMENT. Trip jax's captured-constants
+        # warning threshold below the corpus size and assert silence.
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+
+        from advoc_tpu.models.advoc import AdvocGenerator, PatchDiscriminator
+        from advoc_tpu.models.advoc.model import small_config
+        from advoc_tpu.ops.reference import DEFAULT_PARAMS
+        from advoc_tpu.parallel import data_mesh
+        from advoc_tpu.train import gan
+
+        fps = sorted(str(p) for p in wav_dir.iterdir())
+        cfg = small_config()
+        slice_len = cfg.n_frames * DEFAULT_PARAMS.hop_length
+        corpus = loader.DeviceCorpus(fps, slice_len)
+        assert corpus.nbytes > 64 * 1024  # threshold must sit below this
+        old = jax.config.jax_captured_constants_warn_bytes
+        jax.config.update("jax_captured_constants_warn_bytes", 64 * 1024)
+        try:
+            g, d = AdvocGenerator(cfg), PatchDiscriminator(cfg)
+            est0 = jnp.zeros((1, cfg.n_frames, cfg.n_freq))
+            gstate, dstate = gan.make_states(g, d, (est0,), (est0, est0))
+            base = gan.make_advoc_train_step(g, d, cfg, DEFAULT_PARAMS)
+            step = loader.hbm_data_step(base, corpus, data_mesh(),
+                                        donate=False)
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                step(gstate, dstate, next(corpus.starts(8, seed=1)),
+                     jax.random.PRNGKey(0))
+            bad = [w for w in caught
+                   if "constants were captured" in str(w.message)]
+            assert not bad, f"corpus captured as constant: {bad[0].message}"
+        finally:
+            jax.config.update("jax_captured_constants_warn_bytes", old)
