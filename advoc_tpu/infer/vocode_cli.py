@@ -49,6 +49,15 @@ def main(argv=None) -> None:
                         "BASELINE.md r4 STOI section")
     p.add_argument("--batch", type=int, default=8,
                    help="mels vocoded per device call")
+    p.add_argument("--phase_impl", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="G-L kernel: 'auto' = Pallas VMEM kernel on TPU at "
+                        "eligible shapes; 'xla' = pure-StableHLO (portable "
+                        "AOT artifacts)")
+    p.add_argument("--aot_allow_custom_calls", action="store_true",
+                   help="--aot_export: accept a Mosaic-custom-call artifact "
+                        "(TPU-only, tied to this jaxlib — fine for serving "
+                        "on the machine that exported it)")
     p.add_argument("--longform", action="store_true",
                    help="length-universal mode: every input rides ONE "
                         "fixed-tile executable (Vocoder.vocode_longform) — "
@@ -139,12 +148,14 @@ def main(argv=None) -> None:
             g_apply=g_apply, g_params=g_params, params=P,
             chunk_frames=cfg.n_frames, gl_iters=args.gl_iters,
             mel_projection=args.mel_projection,
+            phase_impl=args.phase_impl,
         )
     if args.aot_export:
         from advoc_tpu.infer.export import export_vocoder
 
         shapes = sorted({(1, voc.bucket(m.shape[0])) for m in mels})
-        man = export_vocoder(voc, shapes, args.aot_export)
+        man = export_vocoder(voc, shapes, args.aot_export,
+                             allow_custom_calls=args.aot_allow_custom_calls)
         print(f"[vocode] exported {len(man['artifacts'])} artifact(s) "
               f"{[tuple(s) for s in shapes]} → {args.aot_export}", flush=True)
         return

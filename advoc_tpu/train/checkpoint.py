@@ -142,13 +142,37 @@ def export_inference_bundle(
 
 
 def load_inference_bundle(path: str | pathlib.Path, template: Any = None):
+    """Restore a bundle onto the CURRENT backend's default device.
+
+    Bundles are exported wherever it was cheap (run_corpus exports on CPU
+    so the training chip isn't held for a restore+serialize) and restored
+    wherever they serve (TPU). Orbax's default restore replays the SAVED
+    sharding — ``Device TFRT_CPU_0 was not found`` when a CPU-exported
+    bundle is opened on the axon backend (caught live in the r5 runbook
+    rehearsal, aot stage) — so every leaf is restored through an explicit
+    ShapeDtypeStruct pinned to the local default device instead."""
     path = pathlib.Path(path).resolve()
     import json
 
+    import jax
+    import jax.numpy as jnp
+
     config = json.loads((path / "config.json").read_text())
     ckptr = ocp.StandardCheckpointer()
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _spec(shape, dtype):
+        return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=sharding)
+
     if template is not None:
-        params = ckptr.restore(path / "g_params", target=template)
+        target = jax.tree.map(
+            lambda x: _spec(jnp.shape(x), jnp.asarray(x).dtype), template
+        )
     else:
-        params = ckptr.restore(path / "g_params")
+        meta = ckptr.metadata(path / "g_params").item_metadata.tree
+        target = jax.tree.map(
+            lambda m: _spec(m.shape, m.dtype), meta,
+            is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+        )
+    params = ckptr.restore(path / "g_params", target=target)
     return params, config

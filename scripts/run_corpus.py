@@ -229,9 +229,12 @@ def main(argv=None) -> None:
 
         probe = run_dir / "probe_mels.npy"
         np.save(probe, np.zeros((1, 256, 80), np.float32))
+        # Artifacts serve on THIS machine → accept the Mosaic custom call
+        # (the r4 on-chip gate shows the AOT path bit-exact vs live).
         stage("aot", py + ["-m", "advoc_tpu.infer.vocode_cli",
                            "--input", probe, "--out_dir", run_dir / "aot_out",
                            "--bundle", bundle_dir, "--aot_export", aot_dir,
+                           "--aot_allow_custom_calls",
                            "--gl_iters", args.gl_iters, *model_flags])
 
     # 6. Warm the compile cache for serving shapes.

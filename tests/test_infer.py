@@ -169,6 +169,26 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bundle_restores_onto_local_default_device(self, tmp_path,
+                                                       tiny_g):
+        # Regression (r5 runbook rehearsal, aot stage): a bundle exported
+        # on one backend must open on another — orbax's default restore
+        # replays the SAVED sharding ("Device TFRT_CPU_0 was not found"
+        # on the axon backend). Proxy on the 8-device CPU mesh: save from
+        # a non-default device, restore (template and metadata paths) must
+        # land every leaf on jax.devices()[0], not the saved device.
+        cfg, _, params = tiny_g
+        other = jax.devices()[3]
+        params_d3 = jax.device_put(params, other)
+        export_inference_bundle(tmp_path / "b", params_d3, {"w": cfg.width})
+        for template in (params, None):
+            p2, _ = load_inference_bundle(tmp_path / "b", template=template)
+            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+                assert list(b.devices()) == [jax.devices()[0]], (
+                    f"restored onto {b.devices()}, not the default device"
+                )
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestMetrics:
     def test_to_host_single_transfer(self):
