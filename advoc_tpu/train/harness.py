@@ -240,5 +240,11 @@ def eval_loop(
                 writer.image(step, tag, np.asarray(img))
         if once:
             break
+    if seen is None:
+        # Silence here cost a full rehearsal its eval record (r5: the
+        # concurrent eval timed out during HBM corpus staging, exited 0
+        # with an empty log) — say loudly that nothing was evaluated.
+        print(f"[eval] no checkpoint appeared in {train_dir} within "
+              f"{timeout_s:.0f}s — evaluated NOTHING", flush=True)
     mgr.close()
     return seen

@@ -66,9 +66,11 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--eval_fraction", type=float, default=0.01)
-    p.add_argument("--eval_timeout_s", type=float, default=240.0,
+    p.add_argument("--eval_timeout_s", type=float, default=1200.0,
                    help="concurrent eval: exit after this long with no new "
-                        "checkpoint")
+                        "checkpoint (generous default: HBM corpus staging "
+                        "alone held the first checkpoint back ~5 min on the "
+                        "13k rehearsal, and 240s silently evaluated nothing)")
     p.add_argument("--gl_iters", type=int, default=30)
     p.add_argument("--serve_clients", type=int, default=4)
     p.add_argument("--cpu", action="store_true",
@@ -184,6 +186,9 @@ def main(argv=None) -> None:
         )
         ev = re.findall(r"\[eval\] ckpt (\d+): (.*)", (logs / "eval.log").read_text())
         summary["eval_last"] = ev[-1][1] if ev else None
+        if not ev:
+            log("WARNING: concurrent eval evaluated NOTHING "
+                "(no checkpoint within --eval_timeout_s?)")
 
     # 3. Inference bundle from the final checkpoint (CPU — don't hold the
     # training chip for a restore+serialize).
